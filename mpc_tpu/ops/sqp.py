@@ -1,0 +1,419 @@
+"""Batched augmented-Lagrangian SQP solver (iLQR/Riccati backend).
+
+This engine replaces BOTH reference inner solvers:
+  * CasADi + IPOPT interior point (``MPC_Planner/optimizer.py:513-560``): the
+    reference rebuilds the symbolic NLP and re-instantiates IPOPT inside every
+    closed-loop step (``optimizer.py:605``); here the whole solver is traced
+    once and jit-compiled by XLA.
+  * FORCESPRO SQP_NLP generated C solver (``optimizer.py:197-245``): BFGS
+    Hessian, 1 QP per step, reg_hessian 5e-6 — emulated by real-time-iteration
+    configs (few Gauss-Newton iterations, warm start) with exact Gauss-Newton
+    Hessians instead of BFGS.
+
+Design (TPU-first, fixed shapes):
+  - Inequalities (friction circle, obstacle circles, box bounds) are handled
+    with an augmented Lagrangian: fixed outer multiplier updates x fixed inner
+    Gauss-Newton iterations, so the compiled program has NO data-dependent
+    control flow.  Infeasible lanes cannot poison a batch: each lane carries
+    its own multipliers and a status code (the reference instead hard-asserts
+    ``exitflag == 1``, ``optimizer.py:330``).
+  - The equality-constrained QP at each iteration is solved by a Riccati
+    sweep (``mpc_tpu.ops.riccati``), not a generic sparse factorization.
+  - Line search evaluates a fixed ladder of step sizes in parallel (vmap over
+    alpha) against the AL merit and picks the best — no sequential
+    backtracking loop.
+  - Everything vmaps over a leading lane axis; `solve_batch` is the
+    chip-saturating entry point.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mpc_tpu.models import constraints as C
+from mpc_tpu.models import costs as cost_mod
+from mpc_tpu.models import dynamics as dyn_mod
+from mpc_tpu.ops import riccati
+
+NX = dyn_mod.NX
+NU = dyn_mod.NU
+# 10 formulation rows (friction + 9 circle rows) + 4 box rows (u0,u1,delta,v)
+NROWS = C.NUM_INEQ + 4
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static solver configuration (hashable; baked into the XLA program)."""
+
+    horizon: int
+    dt: float = 0.1
+    wheelbase: float = 2.578
+    integrator: str = "rk4"          # 'rk4' (forcespro) | 'euler' (casadi)
+    formulation: str = "forcespro"   # constraint algebra variant
+    ego_length: float = 4.508
+    ego_width: float = 1.610
+    a_max: float = 11.5
+    bounds: C.BoxBounds = dataclasses.field(
+        default_factory=lambda: C.BoxBounds(
+            u_lo=(-0.4, -11.5), u_hi=(0.4, 11.5),
+            x_lo=(-float("inf"), -float("inf"), -1.066, 0.0, -float("inf")),
+            x_hi=(float("inf"), float("inf"), 1.066, 50.8, float("inf"))))
+    use_terminal_cost: bool = True   # False for CasADi parity (dead P term,
+                                     # reference optimizer.py:510)
+    sqp_iters: int = 6               # inner Gauss-Newton iterations per AL step
+    al_iters: int = 4                # outer multiplier/penalty updates
+    reg: float = 1e-6                # Quu regularization (ref: 5e-6 BFGS reg)
+    mu0: float = 10.0                # initial AL penalty
+    mu_factor: float = 8.0           # penalty growth per outer iteration
+    lam_max: float = 1e6             # multiplier clamp (soft-slack behavior)
+    alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01,
+                                 3e-3, 1e-3, 3e-4, 1e-4)
+    tol_stat: float = 1e-4           # KKT stationarity tolerance (status)
+    tol_feas: float = 1e-4           # constraint violation tolerance (status)
+
+
+class SqpState(NamedTuple):
+    """Warm-startable solver state (pytree; one lane)."""
+
+    U: jax.Array        # (H, NU) input trajectory
+    lam_lo: jax.Array   # (H+1, NROWS) multipliers for lo - h <= 0
+    lam_hi: jax.Array   # (H+1, NROWS) multipliers for h - hi <= 0
+    mu: jax.Array       # () AL penalty
+
+
+class OcpParams(NamedTuple):
+    """Per-solve runtime parameters (pytree; one lane).
+
+    x0:    (NX,) current state (reference FORCESPRO ``xinit``,
+           ``optimizer.py:289``; CasADi init pin, ``optimizer.py:378``)
+    x_ref: (H+1, NX) reference rows; row k is the tracking target for state
+           X_k (callers encode the reference's one-step-ahead indexing,
+           ``optimizer.py:299-302, 509``)
+    obs_centers: (3, 2) obstacle circle centers
+    min_dist: () r_ego + r_obs
+    weights: cost weights pytree
+    """
+
+    x0: jax.Array
+    x_ref: jax.Array
+    obs_centers: jax.Array
+    min_dist: jax.Array
+    weights: cost_mod.Weights
+
+
+class Solution(NamedTuple):
+    X: jax.Array          # (H+1, NX) optimal states
+    U: jax.Array          # (H, NU) optimal inputs
+    state: SqpState       # warm-start state for the next solve
+    status: jax.Array     # () int32: 1 converged, 0 max-iters, -7 infeasible
+    kkt_stat: jax.Array   # () stationarity residual (inf-norm)
+    viol: jax.Array       # () max constraint violation
+    cost: jax.Array       # () objective value at the solution
+    merit: jax.Array      # () final AL merit
+
+
+# ---------------------------------------------------------------------------
+# Model assembly
+# ---------------------------------------------------------------------------
+
+
+def _step_fn(cfg: SolverConfig):
+    return dyn_mod.make_step_fn(cfg.integrator, cfg.dt, cfg.wheelbase)
+
+
+def _stage_rows(cfg: SolverConfig, x, u, obs: C.ObstacleParams,
+                stage_idx: jax.Array):
+    """All NROWS two-sided rows for one stage: formulation rows + boxes.
+
+    stage_idx: scalar int; stage H is the terminal stage (u rows masked, and
+    FORCESPRO's dangling terminal input is modeled as a = 0 — see module doc
+    of ``mpc_tpu.models.constraints``).
+    """
+    is_term = stage_idx >= cfg.horizon
+    u_eff = jnp.where(is_term, jnp.zeros_like(u), u)
+    if cfg.formulation == "forcespro":
+        h, lo, hi = C.stage_ineq_forcespro(
+            x, u_eff, obs, cfg.ego_length, cfg.ego_width, cfg.wheelbase,
+            cfg.a_max)
+    elif cfg.formulation == "casadi":
+        h, lo, hi = C.stage_ineq_casadi(
+            x, u_eff, obs, cfg.ego_length, cfg.ego_width, cfg.wheelbase,
+            cfg.a_max, friction_active=(stage_idx == 0))
+    else:
+        raise ValueError(f"unknown formulation '{cfg.formulation}'")
+
+    u_lo, u_hi, x_lo, x_hi = cfg.bounds.as_arrays(x.dtype)
+    # box rows: [u0, u1, delta, v]; u rows masked at the terminal stage
+    box_h = jnp.stack([u_eff[0], u_eff[1], x[2], x[3]])
+    box_lo = jnp.stack([
+        jnp.where(is_term, -jnp.inf, u_lo[0]),
+        jnp.where(is_term, -jnp.inf, u_lo[1]),
+        x_lo[2], x_lo[3]])
+    box_hi = jnp.stack([
+        jnp.where(is_term, jnp.inf, u_hi[0]),
+        jnp.where(is_term, jnp.inf, u_hi[1]),
+        x_hi[2], x_hi[3]])
+    return (jnp.concatenate([h, box_h]),
+            jnp.concatenate([lo, box_lo]),
+            jnp.concatenate([hi, box_hi]))
+
+
+def _all_rows(cfg: SolverConfig, X, U, params: OcpParams):
+    """Constraint rows for all H+1 stages: h, lo, hi each (H+1, NROWS)."""
+    obs = C.ObstacleParams(centers=params.obs_centers,
+                           min_dist=params.min_dist)
+    U_ext = jnp.concatenate([U, U[-1:]], axis=0)  # stage H reuses U[H-1]
+    idx = jnp.arange(cfg.horizon + 1)
+    return jax.vmap(lambda x, u, k: _stage_rows(cfg, x, u, obs, k))(
+        X, U_ext, idx)
+
+
+def _al_terms(h, lo, hi, lam_lo, lam_hi, mu):
+    """AL penalty value, d(psi)/dh and active-set GN diagonal, elementwise.
+
+    For one-sided c <= 0 with multiplier lam >= 0:
+        psi = (1/2mu) * (max(0, lam + mu c)^2 - lam^2)
+    Infinite bounds are handled by guarding every product with the active
+    mask (no inf * 0 NaNs).
+    """
+    c_hi = h - hi
+    c_lo = lo - h
+    t_hi = lam_hi + mu * c_hi
+    t_lo = lam_lo + mu * c_lo
+    act_hi = t_hi > 0
+    act_lo = t_lo > 0
+    m_hi = jnp.where(act_hi, t_hi, 0.0)
+    m_lo = jnp.where(act_lo, t_lo, 0.0)
+    psi = (m_hi * m_hi - lam_hi * lam_hi
+           + m_lo * m_lo - lam_lo * lam_lo) / (2.0 * mu)
+    grad_h = m_hi - m_lo
+    gn_diag = mu * (act_hi.astype(h.dtype) + act_lo.astype(h.dtype))
+    return psi, grad_h, gn_diag
+
+
+def _objective(cfg: SolverConfig, X, U, params: OcpParams):
+    w = params.weights
+    stage = jnp.sum(cost_mod.stage_cost(X[:-1], U, params.x_ref[:-1], w))
+    if cfg.use_terminal_cost:
+        stage = stage + cost_mod.terminal_cost(X[-1], params.x_ref[-1], w)
+    return stage
+
+
+def _merit(cfg: SolverConfig, X, U, params: OcpParams, lam_lo, lam_hi, mu):
+    h, lo, hi = _all_rows(cfg, X, U, params)
+    psi, _, _ = _al_terms(h, lo, hi, lam_lo, lam_hi, mu)
+    return _objective(cfg, X, U, params) + jnp.sum(psi)
+
+
+def _rollout(cfg: SolverConfig, x0, U):
+    step = _step_fn(cfg)
+
+    def f(x, u):
+        x_next = step(x, u)
+        return x_next, x
+
+    xH, X = jax.lax.scan(f, x0, U)
+    return jnp.concatenate([X, xH[None]], axis=0)
+
+
+def _feedback_rollout(cfg: SolverConfig, x0, X_bar, U_bar, K, d, alpha):
+    """Nonlinear rollout with LQR feedback: the iLQR forward pass.
+
+    Controls are clamped to their box inside the rollout (box-DDP style):
+    input bounds are then satisfied exactly at every iterate — mirroring how
+    both reference solvers treat variable bounds natively (FORCESPRO lb/ub,
+    ``optimizer.py:108-109``; IPOPT lbx/ubx) — and the stiffest rows never
+    enter the AL penalty, which keeps large-penalty line searches stable.
+    """
+    step = _step_fn(cfg)
+    u_lo, u_hi, _, _ = cfg.bounds.as_arrays(x0.dtype)
+
+    def f(x, stage):
+        xb, ub, Kk, dk = stage
+        u = jnp.clip(ub + alpha * dk + Kk @ (x - xb), u_lo, u_hi)
+        x_next = step(x, u)
+        return x_next, (x, u)
+
+    xH, (X, U) = jax.lax.scan(f, x0, (X_bar[:-1], U_bar, K, d))
+    X = jnp.concatenate([X, xH[None]], axis=0)
+    return X, U
+
+
+# ---------------------------------------------------------------------------
+# Quadratic model assembly (one Gauss-Newton iteration)
+# ---------------------------------------------------------------------------
+
+
+def _build_quadratic(cfg: SolverConfig, X, U, params: OcpParams,
+                     lam_lo, lam_hi, mu):
+    """Stagewise AL-Gauss-Newton quadratic model around (X, U)."""
+    w = params.weights
+    dtype = X.dtype
+    obs = C.ObstacleParams(centers=params.obs_centers,
+                           min_dist=params.min_dist)
+
+    def rows_z(z, k):
+        x, u = z[:NX], z[NX:]
+        hh, _, _ = _stage_rows(cfg, x, u, obs, k)
+        return hh
+
+    idx = jnp.arange(cfg.horizon + 1)
+    U_ext = jnp.concatenate([U, U[-1:]], axis=0)
+    Z = jnp.concatenate([X, U_ext], axis=1)  # (H+1, NX+NU)
+
+    h, lo, hi = _all_rows(cfg, X, U, params)
+    _, grad_h, gn_diag = _al_terms(h, lo, hi, lam_lo, lam_hi, mu)
+    J = jax.vmap(jax.jacfwd(rows_z))(Z, idx)  # (H+1, NROWS, NX+NU)
+
+    # constraint contributions: grad J' g_h, hessian J' diag(gn) J
+    g_con = jnp.einsum("krz,kr->kz", J, grad_h)
+    H_con = jnp.einsum("krz,kr,krw->kzw", J, gn_diag, J)
+
+    # exact cost terms (quadratic objective -> exact Hessian)
+    dx = X - params.x_ref
+    g_cost_x = 2.0 * w.q * dx                      # (H+1, NX)
+    g_cost_u = 2.0 * w.r * U                       # (H, NU)
+    Q_cost = 2.0 * jnp.diag(w.q).astype(dtype)
+    R_cost = 2.0 * jnp.diag(w.r).astype(dtype)
+
+    Qs = Q_cost[None] + H_con[:-1, :NX, :NX]
+    Rs = R_cost[None] + H_con[:-1, NX:, NX:]
+    Ms = H_con[:-1, :NX, NX:]
+    qx = g_cost_x[:-1] + g_con[:-1, :NX]
+    qu = g_cost_u + g_con[:-1, NX:]
+
+    if cfg.use_terminal_cost:
+        QH_cost = 2.0 * jnp.diag(w.qN).astype(dtype)
+        gH_cost = 2.0 * w.qN * dx[-1]
+    else:
+        QH_cost = jnp.zeros((NX, NX), dtype)
+        gH_cost = jnp.zeros((NX,), dtype)
+    QH = QH_cost + H_con[-1, :NX, :NX]
+    qH = gH_cost + g_con[-1, :NX]
+
+    quad = riccati.StageQuad(Q=Qs, R=Rs, M=Ms, qx=qx, qu=qu)
+    return quad, QH, qH
+
+
+def _linearize_dynamics(cfg: SolverConfig, X, U):
+    step = _step_fn(cfg)
+    A = jax.vmap(jax.jacfwd(step, argnums=0))(X[:-1], U)
+    B = jax.vmap(jax.jacfwd(step, argnums=1))(X[:-1], U)
+    # iLQR keeps X consistent with U, so defects r are zero by construction.
+    r = jnp.zeros_like(X[:-1])
+    return riccati.LinDyn(A=A, B=B, r=r)
+
+
+# ---------------------------------------------------------------------------
+# Solve
+# ---------------------------------------------------------------------------
+
+
+def _gn_iteration(cfg: SolverConfig, params: OcpParams, lam_lo, lam_hi, mu,
+                  X, U):
+    """One Gauss-Newton step: build QP, Riccati sweep, parallel line search."""
+    quad, QH, qH = _build_quadratic(cfg, X, U, params, lam_lo, lam_hi, mu)
+    dyn = _linearize_dynamics(cfg, X, U)
+    gains = riccati.backward_pass(quad, QH, qH, dyn, cfg.reg)
+
+    alphas = jnp.array(cfg.alphas, dtype=X.dtype)
+
+    def try_alpha(a):
+        Xa, Ua = _feedback_rollout(cfg, params.x0, X, U, gains.K, gains.d, a)
+        return _merit(cfg, Xa, Ua, params, lam_lo, lam_hi, mu), Xa, Ua
+
+    merits, Xs, Us = jax.vmap(try_alpha)(alphas)
+    merit0 = _merit(cfg, X, U, params, lam_lo, lam_hi, mu)
+    best = jnp.argmin(merits)
+    improved = merits[best] < merit0
+    X_new = jnp.where(improved, Xs[best], X)
+    U_new = jnp.where(improved, Us[best], U)
+    return X_new, U_new, jnp.where(improved, merits[best], merit0)
+
+
+def _kkt_residuals(cfg: SolverConfig, params: OcpParams, X, U,
+                   lam_lo, lam_hi, mu):
+    """Stationarity (of the AL) and primal feasibility residuals."""
+    def merit_of_U(Uf):
+        Xf = _rollout(cfg, params.x0, Uf)
+        return _merit(cfg, Xf, Uf, params, lam_lo, lam_hi, mu)
+
+    g = jax.grad(merit_of_U)(U)
+    stat = jnp.max(jnp.abs(g))
+    h, lo, hi = _all_rows(cfg, X, U, params)
+    viol = jnp.maximum(jnp.maximum(lo - h, h - hi), 0.0)
+    viol = jnp.where(jnp.isfinite(viol), viol, 0.0)
+    return stat, jnp.max(viol)
+
+
+def solve(cfg: SolverConfig, params: OcpParams, state: SqpState) -> Solution:
+    """Solve one NMPC problem (single lane). Fixed iteration structure:
+
+        for outer in range(al_iters):      # multiplier/penalty updates
+            for inner in range(sqp_iters): # Gauss-Newton + Riccati + LS
+    """
+    X0 = _rollout(cfg, params.x0, state.U)
+
+    def outer(carry, _):
+        X, U, lam_lo, lam_hi, mu = carry
+
+        def inner(c, _):
+            Xc, Uc = c
+            Xn, Un, _ = _gn_iteration(cfg, params, lam_lo, lam_hi, mu, Xc, Uc)
+            return (Xn, Un), None
+
+        (X, U), _ = jax.lax.scan(inner, (X, U), None, length=cfg.sqp_iters)
+
+        # first-order multiplier update + penalty growth
+        h, lo, hi = _all_rows(cfg, X, U, params)
+        t_hi = lam_hi + mu * (h - hi)
+        t_lo = lam_lo + mu * (lo - h)
+        lam_hi = jnp.clip(jnp.where(t_hi > 0, t_hi, 0.0), 0.0, cfg.lam_max)
+        lam_lo = jnp.clip(jnp.where(t_lo > 0, t_lo, 0.0), 0.0, cfg.lam_max)
+        mu = mu * cfg.mu_factor
+        return (X, U, lam_lo, lam_hi, mu), None
+
+    init = (X0, state.U, state.lam_lo, state.lam_hi, state.mu)
+    (X, U, lam_lo, lam_hi, mu), _ = jax.lax.scan(
+        outer, init, None, length=cfg.al_iters)
+
+    stat, viol = _kkt_residuals(cfg, params, X, U, lam_lo, lam_hi, mu)
+    converged = (stat < cfg.tol_stat) & (viol < cfg.tol_feas)
+    feasible = viol < jnp.asarray(100.0 * cfg.tol_feas, X.dtype)
+    status = jnp.where(converged, 1, jnp.where(feasible, 0, -7)).astype(
+        jnp.int32)
+
+    new_state = SqpState(U=U, lam_lo=lam_lo, lam_hi=lam_hi,
+                         mu=jnp.asarray(cfg.mu0, X.dtype))
+    return Solution(X=X, U=U, state=new_state, status=status,
+                    kkt_stat=stat, viol=viol,
+                    cost=_objective(cfg, X, U, params),
+                    merit=_merit(cfg, X, U, params, lam_lo, lam_hi, mu))
+
+
+def init_state(cfg: SolverConfig, U0: jax.Array | None = None,
+               dtype=jnp.float32) -> SqpState:
+    """Fresh solver state (cold start)."""
+    H = cfg.horizon
+    U = jnp.zeros((H, NU), dtype) if U0 is None else U0.astype(dtype)
+    return SqpState(
+        U=U,
+        lam_lo=jnp.zeros((H + 1, NROWS), dtype),
+        lam_hi=jnp.zeros((H + 1, NROWS), dtype),
+        mu=jnp.asarray(cfg.mu0, dtype))
+
+
+@partial(jax.jit, static_argnums=0)
+def solve_batch(cfg: SolverConfig, params: OcpParams,
+                state: SqpState) -> Solution:
+    """vmap over a leading lane axis — the chip-saturating entry point.
+
+    Thousands of independent NMPC instances (scenarios x perturbations) are
+    solved in lockstep; per-lane status replaces the reference's global
+    ``assert exitflag == 1`` abort (``optimizer.py:330``).
+    """
+    return jax.vmap(lambda p, s: solve(cfg, p, s))(params, state)

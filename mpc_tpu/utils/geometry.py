@@ -1,0 +1,131 @@
+"""Polyline geometry utilities (host-side NumPy + traced jnp variants).
+
+Replaces the reference's C++-backed ``commonroad_dc.geometry.util`` helpers
+(``chaikins_corner_cutting``, ``resample_polyline``,
+``compute_orientation_from_polyline``, ``compute_polyline_length`` — consumed
+at ``MPC_Planner/configuration.py:19, 447, 524, 548-549``) and
+``find_closest_point`` (``configuration.py:26-37``).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def find_closest_point(path_points: np.ndarray, point: np.ndarray) -> int:
+    """Index of the closest polyline point (``configuration.py:26-37``)."""
+    diff = path_points - np.asarray(point).reshape(1, 2)
+    return int(np.argmin(np.sum(diff * diff, axis=1)))
+
+
+def compute_polyline_length(polyline: np.ndarray) -> float:
+    """Total arc length of a polyline (role of ``compute_polyline_length``)."""
+    seg = np.diff(polyline, axis=0)
+    return float(np.sum(np.hypot(seg[:, 0], seg[:, 1])))
+
+
+def compute_pathlength_from_polyline(polyline: np.ndarray) -> np.ndarray:
+    """Cumulative arc length per vertex, shape (n,)."""
+    seg = np.diff(polyline, axis=0)
+    return np.concatenate([[0.0], np.cumsum(np.hypot(seg[:, 0], seg[:, 1]))])
+
+
+def compute_orientation_from_polyline(polyline: np.ndarray) -> np.ndarray:
+    """Heading per vertex via forward differences, last value repeated.
+
+    Role of ``commonroad_dc``'s ``compute_orientation_from_polyline``
+    (consumed at ``configuration.py:447``): orientation[i] = atan2 of segment
+    i -> i+1; the final vertex inherits the last segment's heading.
+    """
+    polyline = np.asarray(polyline)
+    seg = np.diff(polyline, axis=0)
+    theta = np.arctan2(seg[:, 1], seg[:, 0])
+    return np.concatenate([theta, theta[-1:]])
+
+
+def compute_curvature_from_polyline(polyline: np.ndarray) -> np.ndarray:
+    """Signed curvature per vertex via central differences."""
+    x, y = polyline[:, 0], polyline[:, 1]
+    dx, dy = np.gradient(x), np.gradient(y)
+    ddx, ddy = np.gradient(dx), np.gradient(dy)
+    denom = (dx * dx + dy * dy) ** 1.5
+    denom = np.where(denom < 1e-12, 1e-12, denom)
+    return (dx * ddy - dy * ddx) / denom
+
+
+def chaikins_corner_cutting(polyline: np.ndarray,
+                            refinements: int = 1) -> np.ndarray:
+    """Chaikin corner-cutting smoothing (role of commonroad_dc's version,
+    consumed at ``configuration.py:548``): each interior segment is replaced
+    by its 1/4 and 3/4 points; endpoints are preserved.
+    """
+    pts = np.asarray(polyline, dtype=float)
+    for _ in range(refinements):
+        l = pts[:-1]
+        r = pts[1:]
+        q = 0.75 * l + 0.25 * r
+        p = 0.25 * l + 0.75 * r
+        inner = np.empty((2 * len(l), 2))
+        inner[0::2] = q
+        inner[1::2] = p
+        pts = np.vstack([pts[:1], inner, pts[-1:]])
+    return pts
+
+
+def resample_polyline(polyline: np.ndarray, step: float) -> np.ndarray:
+    """Resample a polyline at fixed arc-length spacing ``step``.
+
+    Role of commonroad_dc's ``resample_polyline`` (consumed at
+    ``configuration.py:549`` with ``step = v_des * dt``): walk the polyline
+    emitting points every ``step`` meters of arc length, starting at the first
+    vertex; the final vertex is appended if the remainder exceeds a tolerance.
+    """
+    polyline = np.asarray(polyline, dtype=float)
+    if len(polyline) < 2:
+        return polyline.copy()
+    s = compute_pathlength_from_polyline(polyline)
+    total = s[-1]
+    n = int(np.floor(total / step)) + 1
+    targets = np.arange(n) * step
+    xs = np.interp(targets, s, polyline[:, 0])
+    ys = np.interp(targets, s, polyline[:, 1])
+    out = np.stack([xs, ys], axis=1)
+    # append the exact endpoint if the tail remainder is significant
+    if total - targets[-1] > 1e-6:
+        out = np.vstack([out, polyline[-1:]])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Traced (jnp) variants for on-device use
+# ---------------------------------------------------------------------------
+
+def closest_point_index_jnp(path_points: jnp.ndarray,
+                            point: jnp.ndarray) -> jnp.ndarray:
+    """Traced argmin-distance (device-side analog of find_closest_point)."""
+    diff = path_points - point.reshape(1, 2)
+    return jnp.argmin(jnp.sum(diff * diff, axis=1))
+
+
+def arclength_projection_jnp(path_points: jnp.ndarray,
+                             point: jnp.ndarray) -> jnp.ndarray:
+    """Arc-length coordinate of the projection of ``point`` onto a polyline.
+
+    Device-side replacement for the role of the C++ curvilinear coordinate
+    system (``pycrccosy.CurvilinearCoordinateSystem``, reference
+    ``configuration.py:264-277``): projects onto each segment, clamps to the
+    segment, and returns s at the globally nearest projection.
+    """
+    a = path_points[:-1]
+    b = path_points[1:]
+    ab = b - a
+    ab2 = jnp.sum(ab * ab, axis=1)
+    t = jnp.clip(jnp.sum((point - a) * ab, axis=1)
+                 / jnp.where(ab2 < 1e-12, 1e-12, ab2), 0.0, 1.0)
+    proj = a + t[:, None] * ab
+    d2 = jnp.sum((proj - point) ** 2, axis=1)
+    seg_len = jnp.sqrt(ab2)
+    s = jnp.concatenate([jnp.zeros(1, dtype=seg_len.dtype),
+                         jnp.cumsum(seg_len)])
+    idx = jnp.argmin(d2)
+    return s[idx] + t[idx] * seg_len[idx]

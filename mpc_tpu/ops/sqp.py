@@ -74,6 +74,8 @@ class SolverConfig:
                                  3e-3, 1e-3, 3e-4, 1e-4)
     tol_stat: float = 1e-4           # KKT stationarity tolerance (status)
     tol_feas: float = 1e-4           # constraint violation tolerance (status)
+    tol_infeas: float = 0.05         # violation above which a lane reports
+                                     # status -7 (genuinely infeasible)
 
 
 class SqpState(NamedTuple):
@@ -383,7 +385,7 @@ def solve(cfg: SolverConfig, params: OcpParams, state: SqpState) -> Solution:
 
     stat, viol = _kkt_residuals(cfg, params, X, U, lam_lo, lam_hi, mu)
     converged = (stat < cfg.tol_stat) & (viol < cfg.tol_feas)
-    feasible = viol < jnp.asarray(100.0 * cfg.tol_feas, X.dtype)
+    feasible = viol < jnp.asarray(cfg.tol_infeas, X.dtype)
     status = jnp.where(converged, 1, jnp.where(feasible, 0, -7)).astype(
         jnp.int32)
 

@@ -1,0 +1,114 @@
+"""High-level planner facade.
+
+Replaces the reference's ``MPCPlanner`` driver (``MPC_Planner/mpc_planner.py:
+21-314``): dispatches on the configured formulation, runs the on-device
+closed loop, computes metrics, validates collisions, and writes artifacts in
+the reference's text formats (``planned states.txt``, ``control inputs.txt``,
+``solve time.txt``, ``deviation.txt``, ``RMSD.txt`` — ``mpc_planner.py:197,
+211, 237, 253, 290``) so downstream comparison tooling carries over.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from mpc_tpu.io.config import PlanningConfig
+from mpc_tpu.planner import closed_loop as cl
+from mpc_tpu.utils import collision as col
+from mpc_tpu.utils import metrics as met
+
+
+@dataclasses.dataclass
+class PlanResult:
+    states: np.ndarray        # (T, 5)
+    inputs: np.ndarray        # (T, 2)
+    solve_time: np.ndarray    # (T,) seconds (amortized device time per step)
+    status: np.ndarray        # (T,)
+    rmsd: Optional[Dict[str, float]]
+    deviation: np.ndarray     # (T,)
+    collided_obstacle: bool
+    collided_boundary: bool
+    wall_time_s: float
+
+
+class MPCPlanner:
+    """Scenario-level planner: config in, trajectory + artifacts out."""
+
+    def __init__(self, config: PlanningConfig,
+                 horizon: Optional[int] = None,
+                 noised: Optional[bool] = None,
+                 seed: int = 0,
+                 **solver_overrides):
+        self.config = config
+        self.loop_config = cl.make_loop_config(
+            config, horizon=horizon, noised=noised, **solver_overrides)
+        self.loop_params = cl.make_loop_params(config, self.loop_config,
+                                               seed=seed)
+
+    def plan(self) -> PlanResult:
+        """Run the closed loop once and assemble metrics.
+
+        Mirrors ``MPCPlanner.plan`` (``mpc_planner.py:294-314``) minus the
+        rendering side effects (see ``mpc_tpu.utils.viz``).
+        """
+        cfg = self.config
+        # warm-up compile excluded from the timed run, mirroring how the
+        # reference times only solver work (optimizer.py:603-608)
+        res = cl.closed_loop_jit(self.loop_config, self.loop_params)
+        res.X.block_until_ready()
+        t0 = time.perf_counter()
+        res = cl.closed_loop_jit(self.loop_config, self.loop_params)
+        res.X.block_until_ready()
+        wall = time.perf_counter() - t0
+
+        X = np.asarray(res.X, dtype=float)
+        U = np.asarray(res.U, dtype=float)
+        T = X.shape[0]
+        solve_time = np.full(T, wall / T)
+
+        rmsd = None
+        if cfg.use_case == "lane_following":
+            rx, ry = met.rmsd_xy(X, cfg.reference_path)
+            rmsd = {"x": rx, "y": ry}
+        deviation = met.deviation_euclidean(X, cfg.origin_reference_path)
+
+        ob = cfg.static_obstacle
+        hit_obs, _ = col.trajectory_collides_obstacle(
+            X, cfg.vehicle.l, cfg.vehicle.w,
+            np.array([ob["position_x"], ob["position_y"]]),
+            ob["length"], ob["width"], ob["orientation"])
+        hit_left, _ = col.trajectory_crosses_boundary(
+            X, cfg.vehicle.l, cfg.vehicle.w, cfg.left_road_boundary)
+        hit_right, _ = col.trajectory_crosses_boundary(
+            X, cfg.vehicle.l, cfg.vehicle.w, cfg.right_road_boundary)
+
+        return PlanResult(
+            states=X, inputs=U, solve_time=solve_time,
+            status=np.asarray(res.status),
+            rmsd=rmsd, deviation=deviation,
+            collided_obstacle=bool(hit_obs),
+            collided_boundary=bool(hit_left or hit_right),
+            wall_time_s=wall)
+
+    def save_artifacts(self, result: PlanResult, out_dir: str) -> str:
+        """Write reference-format text artifacts.
+
+        Directory naming parity with ``mpc_planner.py:168``:
+        ``2D_plots_{framework}_{scenario}_{use_case}/``.
+        """
+        cfg = self.config
+        d = os.path.join(out_dir, "2D_plots_{}_{}_{}".format(
+            cfg.framework, cfg.scenario_name, cfg.use_case))
+        os.makedirs(d, exist_ok=True)
+        np.savetxt(os.path.join(d, "planned states.txt"), result.states)
+        np.savetxt(os.path.join(d, "control inputs.txt"), result.inputs)
+        np.savetxt(os.path.join(d, "solve time.txt"), result.solve_time)
+        np.savetxt(os.path.join(d, "deviation.txt"), result.deviation)
+        if result.rmsd is not None:
+            np.savetxt(os.path.join(d, "RMSD.txt"),
+                       np.array([result.rmsd["x"], result.rmsd["y"]]))
+        return d

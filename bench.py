@@ -1,0 +1,75 @@
+"""Benchmark: warm-started receding-horizon NMPC solves/s per chip at H=30.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Workload: the production closed-loop step — exactly what both reference
+solvers time in their ``solve time.txt`` series (warm-started per-step
+solves): a batch of perturbed overtaking lanes runs ``n_steps`` receding-
+horizon iterations on-device (reference windowing + full constraint stack +
+plant propagation); solves/s = lanes * steps / wall.
+
+Baseline context (BASELINE.json / SURVEY.md §6):
+  * reference FORCESPRO p50 per-solve: 2.35 ms at H=10 => ~426 solves/s
+  * reference CasADi/IPOPT p50: ~35-39 ms/solve
+  * north star: >= 5000 solves/s on a v5e-8 at H=30 => 625 per chip
+    ``vs_baseline`` = value / 625.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+
+
+PER_CHIP_TARGET = 5000.0 / 8.0  # north-star per-chip share on a v5e-8
+
+
+def run_bench(batch: int = 1024, horizon: int = 30, n_steps: int = 10,
+              repeats: int = 3):
+    from mpc_tpu.planner import closed_loop as cl
+    from mpc_tpu.utils import synthetic
+
+    lcfg, params = synthetic.make_bench_loop(
+        n_steps=n_steps, horizon=horizon, n_lanes=batch)
+
+    res = cl.closed_loop_batch(lcfg, params)  # compile
+    jax.block_until_ready(res.X)
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = cl.closed_loop_batch(lcfg, params)
+        jax.block_until_ready(res.X)
+        best = min(best, time.perf_counter() - t0)
+
+    solves = batch * n_steps
+    import numpy as np
+    ok = int(np.sum(np.asarray(res.status) >= 0))
+    return solves / best, best / n_steps, ok, solves
+
+
+def main():
+    n_dev = len(jax.devices())
+    platform = jax.devices()[0].platform
+    batch = 1024 if platform != "cpu" else 128
+    solves_per_s, step_latency, ok, total = run_bench(batch=batch)
+    per_chip = solves_per_s / n_dev
+    result = {
+        "metric": "nmpc_solves_per_s_per_chip_h30",
+        "value": round(per_chip, 1),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(per_chip / PER_CHIP_TARGET, 3),
+        "batch": batch,
+        "step_latency_ms": round(step_latency * 1e3, 3),
+        "feasible_steps": ok,
+        "total_solves": total,
+        "devices": n_dev,
+        "platform": platform,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

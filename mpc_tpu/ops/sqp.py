@@ -76,6 +76,9 @@ class SolverConfig:
     tol_feas: float = 1e-4           # constraint violation tolerance (status)
     tol_infeas: float = 0.05         # violation above which a lane reports
                                      # status -7 (genuinely infeasible)
+    lqr_backend: str = "scan"        # 'scan' (sequential Riccati) | 'pscan'
+                                     # (log-depth associative scan; shard the
+                                     # stage axis for long horizons)
 
 
 class SqpState(NamedTuple):
@@ -320,7 +323,11 @@ def _gn_iteration(cfg: SolverConfig, params: OcpParams, lam_lo, lam_hi, mu,
     """One Gauss-Newton step: build QP, Riccati sweep, parallel line search."""
     quad, QH, qH = _build_quadratic(cfg, X, U, params, lam_lo, lam_hi, mu)
     dyn = _linearize_dynamics(cfg, X, U)
-    gains = riccati.backward_pass(quad, QH, qH, dyn, cfg.reg)
+    if cfg.lqr_backend == "pscan":
+        from mpc_tpu.ops import pscan
+        gains = pscan.backward_pass_pscan(quad, QH, qH, dyn, cfg.reg)
+    else:
+        gains = riccati.backward_pass(quad, QH, qH, dyn, cfg.reg)
 
     alphas = jnp.array(cfg.alphas, dtype=X.dtype)
 

@@ -1,0 +1,108 @@
+"""Sharded batch solving over a device mesh.
+
+The chip- and pod-scale entry points: lanes (independent NMPC instances) are
+sharded over the mesh's ``dp`` axis; XLA partitions the whole vmapped solver
+with zero communication on the hot path.  Cross-lane reductions (convergence
+counters, violation maxima — the only quantities that must cross ICI/DCN,
+SURVEY.md §5) use ``shard_map`` + ``psum``/``pmax`` collectives.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from mpc_tpu.ops import sqp
+from mpc_tpu.planner import closed_loop as cl
+from mpc_tpu.parallel import mesh as mesh_mod
+
+
+class BatchSummary(NamedTuple):
+    """Global (all-lane) diagnostics, reduced over the mesh."""
+
+    n_converged: jax.Array   # () int32
+    n_infeasible: jax.Array  # () int32
+    max_viol: jax.Array      # ()
+    mean_cost: jax.Array     # ()
+
+
+def _lane_specs(pytree):
+    return jax.tree.map(
+        lambda x: P("dp", *([None] * (max(x.ndim, 1) - 1))), pytree)
+
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=("mesh",))
+def _solve_sharded(cfg: sqp.SolverConfig, params, state, *, mesh: Mesh):
+    lane = NamedSharding(mesh, P("dp"))
+    f = jax.vmap(lambda p, s: sqp.solve(cfg, p, s))
+    out_sh = jax.tree.map(lambda _: lane, jax.eval_shape(f, params, state))
+    return jax.jit(f, out_shardings=out_sh)(params, state)
+
+
+def solve_batch_sharded(cfg: sqp.SolverConfig, params: sqp.OcpParams,
+                        state: sqp.SqpState, mesh: Mesh) -> sqp.Solution:
+    """Batched solve with lanes sharded over the mesh's dp axis.
+
+    Lane count must divide by the dp axis size.  Per-lane status survives:
+    no global abort on infeasible lanes (cf. reference ``optimizer.py:330``).
+    """
+    params = mesh_mod.shard_lanes(params, mesh)
+    state = mesh_mod.shard_lanes(state, mesh)
+    return _solve_sharded(cfg, params, state, mesh=mesh)
+
+
+def closed_loop_batch_sharded(lcfg: cl.LoopConfig, params: cl.LoopParams,
+                              mesh: Mesh) -> cl.LoopResult:
+    """Batch of full closed-loop rollouts, lanes sharded over dp."""
+    params = mesh_mod.shard_lanes(params, mesh)
+    f = jax.vmap(lambda p: cl.run_closed_loop(lcfg, p))
+    lane = NamedSharding(mesh, P("dp"))
+    out_sh = jax.tree.map(lambda _: lane, jax.eval_shape(f, params))
+    return jax.jit(f, out_shardings=out_sh)(params)
+
+
+def summarize(solution: sqp.Solution, mesh: Mesh) -> BatchSummary:
+    """Mesh-wide reduction of solver diagnostics via psum/pmax collectives.
+
+    This is the (tiny) cross-lane communication path: scalars ride ICI
+    within a slice and DCN across hosts.
+    """
+    spec = P("dp")
+
+    def reduce_fn(status, viol, cost):
+        conv = jnp.sum((status == 1).astype(jnp.int32))
+        infeas = jnp.sum((status < 0).astype(jnp.int32))
+        n = status.shape[0]
+        return (
+            jax.lax.psum(conv, "dp"),
+            jax.lax.psum(infeas, "dp"),
+            jax.lax.pmax(jnp.max(viol), "dp"),
+            jax.lax.psum(jnp.sum(cost), "dp")
+            / jax.lax.psum(jnp.asarray(n, cost.dtype), "dp"),
+        )
+
+    f = shard_map(reduce_fn, mesh=mesh,
+                  in_specs=(spec, spec, spec),
+                  out_specs=(P(), P(), P(), P()))
+    conv, infeas, mviol, mcost = f(solution.status, solution.viol,
+                                   solution.cost)
+    return BatchSummary(n_converged=conv, n_infeasible=infeas,
+                        max_viol=mviol, mean_cost=mcost)
+
+
+def replicate_ocp(params: sqp.OcpParams, n: int) -> sqp.OcpParams:
+    """Tile a single-lane OcpParams to n lanes (benchmark/perturbation fan)."""
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (n,) + x.shape), params)
+
+
+def perturb_x0(params: sqp.OcpParams, key: jax.Array,
+               scale: jax.Array | float) -> sqp.OcpParams:
+    """Perturb each lane's initial state (pod-scale scenario fan-out)."""
+    noise = scale * jax.random.normal(key, params.x0.shape,
+                                      dtype=params.x0.dtype)
+    return params._replace(x0=params.x0 + noise)

@@ -45,6 +45,9 @@ class LoopConfig:
     n_steps: int              # iter_length T
     noise_std: float = 0.0    # 0 => deterministic
     plant_integrator: str = "rk4"
+    cold_start_solves: int = 0  # extra warm-up solves of the step-0 problem
+                                # before the loop (deep-horizon cold starts
+                                # can otherwise land in poor local basins)
 
 
 class LoopParams(NamedTuple):
@@ -180,6 +183,14 @@ def run_closed_loop(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
     dtype = params.x_init.dtype
     init_u = jnp.zeros((scfg.horizon, 2), dtype)
     init_state = sqp.init_state(scfg, init_u, dtype)
+    for _ in range(lcfg.cold_start_solves):
+        x_ref0 = ref_mod.window(params.track, jnp.asarray(0), scfg.horizon,
+                                lcfg.mode, x0=params.x_init)
+        ocp0 = sqp.OcpParams(x0=params.x_init, x_ref=x_ref0,
+                             obs_centers=params.obs_centers,
+                             min_dist=params.min_dist,
+                             weights=params.weights)
+        init_state = sqp.solve(scfg, ocp0, init_state).state
     carry0 = (params.x_init, init_state, params.noise_key)
     _, (X, U, status, viol, cost) = jax.lax.scan(
         body, carry0, jnp.arange(lcfg.n_steps))

@@ -18,8 +18,8 @@ import numpy as np
 
 from mpc_tpu.io.config import PlanningConfig
 from mpc_tpu.planner import closed_loop as cl
-from mpc_tpu.utils import collision as col
 from mpc_tpu.utils import metrics as met
+from mpc_tpu.utils import native
 
 
 @dataclasses.dataclass
@@ -74,17 +74,18 @@ class MPCPlanner:
         if cfg.use_case == "lane_following":
             rx, ry = met.rmsd_xy(X, cfg.reference_path)
             rmsd = {"x": rx, "y": ry}
-        deviation = met.deviation_euclidean(X, cfg.origin_reference_path)
+        # native C++ geometry runtime when built; Python fallback otherwise
+        deviation = native.deviation_to_path(X, cfg.origin_reference_path)
 
         ob = cfg.static_obstacle
-        hit_obs, _ = col.trajectory_collides_obstacle(
+        hit_obs = native.traj_obstacle_collision(
             X, cfg.vehicle.l, cfg.vehicle.w,
-            np.array([ob["position_x"], ob["position_y"]]),
-            ob["length"], ob["width"], ob["orientation"])
-        hit_left, _ = col.trajectory_crosses_boundary(
-            X, cfg.vehicle.l, cfg.vehicle.w, cfg.left_road_boundary)
-        hit_right, _ = col.trajectory_crosses_boundary(
-            X, cfg.vehicle.l, cfg.vehicle.w, cfg.right_road_boundary)
+            (ob["position_x"], ob["position_y"]),
+            ob["length"], ob["width"], ob["orientation"]) >= 0
+        hit_left = native.traj_boundary_collision(
+            X, cfg.vehicle.l, cfg.vehicle.w, cfg.left_road_boundary) >= 0
+        hit_right = native.traj_boundary_collision(
+            X, cfg.vehicle.l, cfg.vehicle.w, cfg.right_road_boundary) >= 0
 
         return PlanResult(
             states=X, inputs=U, solve_time=solve_time,

@@ -1,0 +1,105 @@
+"""Synthetic benchmark/test scenarios (no XML needed).
+
+Builds ZAM-like overtaking tracks of arbitrary length and horizon for
+benchmarks, perturbation fans, and pod-scale runs — the "thousands of
+perturbed scenarios" axis of BASELINE.json's north star.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_tpu.models.costs import Weights
+from mpc_tpu.ops import sqp
+from mpc_tpu.planner import closed_loop as cl
+from mpc_tpu.planner import reference as ref_mod
+
+ZAM_LIKE_WEIGHTS = {
+    "weight_x": 2.3, "weight_y": 2.3, "weight_steering_angle": 500.0,
+    "weight_velocity": 0.1, "weight_heading_angle": 160.0,
+    "weight_velocity_steering_angle": 0.8, "weight_long_acceleration": 0.8,
+    "weight_x_terminate": 80.0, "weight_y_terminate": 80.0,
+    "weight_steering_angle_terminate": 100.0,
+    "weight_velocity_terminate": 0.01,
+    "weight_heading_angle_terminate": 110.0}
+
+
+def overtake_track(n_steps: int, v: float = 15.0, dt: float = 0.1
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reference path with an overtake swerve around an in-lane obstacle.
+
+    Returns (path (T,2), orientation (T,), obstacle_center (2,)).  The
+    obstacle sits at 40% of the track; the path clears it laterally by
+    ~3.5 m like the ZAM overtake line.
+    """
+    T = n_steps
+    s = np.arange(T) * v * dt
+    x = 30.0 + s
+    L = s[-1] if T > 1 else 1.0
+    obs_s = 0.4 * L
+    # smooth swerve: 0 -> 3.0 m lateral around the obstacle, partway back.
+    # The obstacle sits clearly BELOW the travel line (like ZAM, where the
+    # in-lane obstacle is offset from the overtake line): a head-on obstacle
+    # is a zero-gradient saddle for any smooth local solver.
+    y = (-1.15
+         + 4.15 * _smooth01((s - (obs_s - 24.0)) / 16.0)
+         - 2.0 * _smooth01((s - (obs_s + 10.0)) / 15.0))
+    path = np.stack([x, y], axis=1)
+    seg = np.diff(path, axis=0)
+    psi = np.arctan2(seg[:, 1], seg[:, 0])
+    psi = np.concatenate([psi, psi[-1:]])
+    obstacle = np.array([30.0 + obs_s, -1.9])
+    return path, psi, obstacle
+
+
+def _smooth01(t: np.ndarray) -> np.ndarray:
+    t = np.clip(t, 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def make_bench_loop(n_steps: int, horizon: int, n_lanes: int,
+                    mode: str = "forcespro", dtype=jnp.float32,
+                    **solver_overrides):
+    """(LoopConfig, batched LoopParams) for the closed-loop benchmark."""
+    v, dt = 15.0, 0.1
+    path, psi, obstacle = overtake_track(n_steps + horizon + 2, v, dt)
+
+    if mode == "forcespro":
+        H = horizon
+        integ = "rk4"
+        use_term = True
+    else:
+        H = horizon
+        integ = "euler"
+        use_term = False
+    scfg = sqp.SolverConfig(
+        horizon=H, dt=dt, integrator=integ, formulation=mode,
+        use_terminal_cost=use_term, **solver_overrides)
+    lcfg = cl.LoopConfig(solver=scfg, mode=mode, n_steps=n_steps,
+                         noise_std=0.0, plant_integrator=integ,
+                         cold_start_solves=4)
+
+    track = ref_mod.build_track(path, psi, v, H, mode, dtype)
+    from mpc_tpu.models.constraints import circle_centers
+    centers = circle_centers(jnp.asarray(obstacle[0], dtype),
+                             jnp.asarray(obstacle[1], dtype),
+                             6.0, 3.5, jnp.asarray(0.0, dtype))
+    one = cl.LoopParams(
+        x_init=jnp.asarray([path[0, 0], path[0, 1], 0.0, v, psi[0]], dtype),
+        track=track,
+        obs_centers=centers,
+        min_dist=jnp.asarray(3.3, dtype),
+        weights=Weights.from_dict(ZAM_LIKE_WEIGHTS, dtype),
+        noise_key=jax.random.PRNGKey(0))
+    batch = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (n_lanes,) + x.shape), one)
+    # perturb starts: position / velocity / heading jitter per lane
+    key = jax.random.PRNGKey(1)
+    pert = jax.random.normal(key, (n_lanes, 5), dtype) * jnp.asarray(
+        [0.5, 0.15, 0.0, 0.5, 0.01], dtype)
+    batch = batch._replace(x_init=batch.x_init + pert,
+                           noise_key=jax.random.split(key, n_lanes))
+    return lcfg, batch

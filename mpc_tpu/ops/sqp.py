@@ -80,6 +80,18 @@ class SolverConfig:
                                      # (log-depth associative scan; shard the
                                      # stage axis for long horizons)
 
+    def __post_init__(self):
+        if self.horizon < 1:
+            raise ValueError(f"horizon must be >= 1, got {self.horizon}")
+        if self.integrator not in ("rk4", "euler"):
+            raise ValueError(f"unknown integrator '{self.integrator}'")
+        if self.formulation not in ("forcespro", "casadi"):
+            raise ValueError(f"unknown formulation '{self.formulation}'")
+        if self.lqr_backend not in ("scan", "pscan"):
+            raise ValueError(f"unknown lqr_backend '{self.lqr_backend}'")
+        if self.sqp_iters < 1 or self.al_iters < 1:
+            raise ValueError("sqp_iters and al_iters must be >= 1")
+
 
 class SqpState(NamedTuple):
     """Warm-startable solver state (pytree; one lane)."""

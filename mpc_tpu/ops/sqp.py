@@ -64,14 +64,15 @@ class SolverConfig:
             x_hi=(float("inf"), float("inf"), 1.066, 50.8, float("inf"))))
     use_terminal_cost: bool = True   # False for CasADi parity (dead P term,
                                      # reference optimizer.py:510)
-    sqp_iters: int = 6               # inner Gauss-Newton iterations per AL step
-    al_iters: int = 4                # outer multiplier/penalty updates
+    sqp_iters: int = 4               # inner Gauss-Newton iterations per AL step
+    al_iters: int = 3                # outer multiplier/penalty updates
     reg: float = 1e-6                # Quu regularization (ref: 5e-6 BFGS reg)
     mu0: float = 10.0                # initial AL penalty
     mu_factor: float = 8.0           # penalty growth per outer iteration
     lam_max: float = 1e6             # multiplier clamp (soft-slack behavior)
-    alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01,
-                                 3e-3, 1e-3, 3e-4, 1e-4)
+    # geometric ladder tuned against golden-parity + batch-feasibility sweeps
+    # (tests/test_closed_loop.py quality gates); widen for stiffer penalties
+    alphas: Tuple[float, ...] = (1.0, 0.35, 0.12, 0.04, 0.012, 1e-3)
     tol_stat: float = 1e-4           # KKT stationarity tolerance (status)
     tol_feas: float = 1e-4           # constraint violation tolerance (status)
     tol_infeas: float = 0.05         # violation above which a lane reports

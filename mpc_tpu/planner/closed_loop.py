@@ -202,6 +202,54 @@ def closed_loop_jit(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
     return run_closed_loop(lcfg, params)
 
 
+@partial(jax.jit, static_argnums=(0, 3))
+def closed_loop_chunk(lcfg: LoopConfig, params: LoopParams, carry,
+                      n_steps: int):
+    """Run ``n_steps`` closed-loop steps from an explicit carry.
+
+    Building block for checkpoint/resume (``mpc_tpu.utils.checkpoint``): the
+    carry is (step_idx, x, SqpState, key) and can be snapshotted between
+    chunks.  The reference has no analog (SURVEY.md §5 checkpoint row).
+    """
+    scfg = lcfg.solver
+
+    def body(c, _):
+        step_idx, x, sqp_state, key = c
+        x_ref = ref_mod.window(params.track, step_idx, scfg.horizon,
+                               lcfg.mode, x0=x)
+        ocp = sqp.OcpParams(x0=x, x_ref=x_ref,
+                            obs_centers=params.obs_centers,
+                            min_dist=params.min_dist,
+                            weights=params.weights)
+        sol = sqp.solve(scfg, ocp, sqp_state)
+        key, sub = jax.random.split(key)
+        noise = lcfg.noise_std * jax.random.normal(sub, (2,),
+                                                   dtype=sol.U.dtype)
+        u_apply = sol.U[0] + noise
+        x_next = _plant_step(lcfg, x, u_apply)
+        st = sol.state
+        warm = sqp.SqpState(
+            U=jnp.concatenate([st.U[1:], st.U[-1:]], axis=0),
+            lam_lo=jnp.concatenate([st.lam_lo[1:], st.lam_lo[-1:]], axis=0),
+            lam_hi=jnp.concatenate([st.lam_hi[1:], st.lam_hi[-1:]], axis=0),
+            mu=st.mu)
+        out = (x, u_apply, sol.status, sol.viol, sol.cost)
+        return (step_idx + 1, x_next, warm, key), out
+
+    carry, (X, U, status, viol, cost) = jax.lax.scan(
+        body, carry, None, length=n_steps)
+    return carry, LoopResult(X=X, U=U, status=status, viol=viol, cost=cost)
+
+
+def init_carry(lcfg: LoopConfig, params: LoopParams):
+    """Initial chunk carry (step 0, cold-started warm state)."""
+    dtype = params.x_init.dtype
+    state = sqp.init_state(lcfg.solver, jnp.zeros((lcfg.solver.horizon, 2),
+                                                  dtype), dtype)
+    return (jnp.asarray(0, jnp.int32), params.x_init, state,
+            params.noise_key)
+
+
 @partial(jax.jit, static_argnums=0)
 def closed_loop_batch(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
     """vmap over a leading lane axis in every LoopParams leaf."""

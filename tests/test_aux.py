@@ -1,0 +1,78 @@
+"""Auxiliary subsystems: checkpoint/resume, chunked loop, compare tooling."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from mpc_tpu.planner import closed_loop as cl
+from mpc_tpu.utils import checkpoint as ck
+from mpc_tpu.utils import compare
+from mpc_tpu.utils import synthetic
+
+REF = "/root/reference"
+
+
+def test_chunked_loop_matches_full():
+    lcfg, params = synthetic.make_bench_loop(n_steps=8, horizon=10, n_lanes=1)
+    one = jax.tree.map(lambda x: x[0], params)
+    full = cl.closed_loop_jit(lcfg, one)
+    carry = cl.init_carry(lcfg, one)
+    # cold-start refinement parity: run_closed_loop does extra warm-up solves
+    import dataclasses
+    lcfg0 = dataclasses.replace(lcfg, cold_start_solves=0)
+    full0 = cl.closed_loop_jit(lcfg0, one)
+    carry, r1 = cl.closed_loop_chunk(lcfg0, one, carry, 3)
+    carry, r2 = cl.closed_loop_chunk(lcfg0, one, carry, 5)
+    X_chunked = np.concatenate([np.asarray(r1.X), np.asarray(r2.X)])
+    np.testing.assert_allclose(X_chunked, np.asarray(full0.X), atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    lcfg, params = synthetic.make_bench_loop(n_steps=6, horizon=10, n_lanes=1)
+    import dataclasses
+    lcfg = dataclasses.replace(lcfg, cold_start_solves=0)
+    one = jax.tree.map(lambda x: x[0], params)
+    carry = cl.init_carry(lcfg, one)
+    carry, r1 = cl.closed_loop_chunk(lcfg, one, carry, 3)
+    ck.save_checkpoint(str(tmp_path), carry, 3)
+    assert ck.latest_step(str(tmp_path)) == 3
+    restored = ck.restore_checkpoint(str(tmp_path), carry)
+    for a, b in zip(jax.tree.leaves(carry), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resume and compare against uninterrupted run
+    _, r2 = cl.closed_loop_chunk(lcfg, one, jax.tree.map(
+        lambda x: jax.numpy.asarray(x), restored), 3)
+    carry_direct = cl.init_carry(lcfg, one)
+    _, rfull = cl.closed_loop_chunk(lcfg, one, carry_direct, 6)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(r1.X), np.asarray(r2.X)]),
+        np.asarray(rfull.X), atol=1e-5)
+
+
+def test_compare_tooling(tmp_path):
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    for d, scale in [(d1, 0.002), (d2, 0.04)]:
+        os.makedirs(d)
+        np.savetxt(os.path.join(d, "solve time.txt"),
+                   np.full(30, scale))
+    stats = compare.compare_solve_times({"fast": str(d1), "slow": str(d2)})
+    assert stats["fast"]["p50_ms"] == pytest.approx(2.0)
+    assert stats["slow"]["p50_ms"] == pytest.approx(40.0)
+    png = compare.plot_solve_time_comparison(
+        {"fast": str(d1), "slow": str(d2)}, str(tmp_path / "cmp.png"))
+    assert os.path.exists(png)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference checkout")
+def test_compare_against_reference_artifacts():
+    dirs = {
+        "ref-casadi": f"{REF}/test/2D_plots_casadi_ZAM_Over-1_1_lane_following",
+        "ref-forcespro":
+            f"{REF}/test/2D_plots_forcespro_ZAM_Over-1_1_lane_following",
+    }
+    stats = compare.compare_solve_times(dirs)
+    # sanity vs SURVEY.md §6 numbers
+    assert 30 < stats["ref-casadi"]["p50_ms"] < 50
+    assert 1 < stats["ref-forcespro"]["p50_ms"] < 4

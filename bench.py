@@ -32,18 +32,18 @@ def run_bench(batch: int = 1024, horizon: int = 30, n_steps: int = 10,
     from mpc_tpu.utils import synthetic
 
     lcfg, params = synthetic.make_bench_loop(
-        n_steps=n_steps, horizon=horizon, n_lanes=batch)
+        n_steps=n_steps, horizon=horizon, n_lanes=batch, method="al")
 
     import numpy as np
 
-    res = cl.closed_loop_batch(lcfg, params)  # compile
+    res = cl.closed_loop_batch_vec(lcfg, params)  # compile
     np.asarray(res.X)  # force full materialization (block_until_ready does
     # not reliably block on the axon relay platform)
 
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        res = cl.closed_loop_batch(lcfg, params)
+        res = cl.closed_loop_batch_vec(lcfg, params)
         np.asarray(res.X)
         best = min(best, time.perf_counter() - t0)
 

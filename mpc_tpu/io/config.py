@@ -54,6 +54,9 @@ class PlanningConfig:
     # road boundary polylines for the host-side collision oracle
     left_road_boundary: Optional[np.ndarray] = None
     right_road_boundary: Optional[np.ndarray] = None
+    # optional solver-side road-boundary constraints (the reference ships
+    # this constraint set commented out, optimizer.py:113-161)
+    boundary_constraints: bool = False
 
     def __post_init__(self):
         if self.framework not in ("casadi", "forcespro"):
@@ -211,6 +214,8 @@ def build_config(settings: Dict, scenario: Scenario,
         init_acceleration=float(pp.initial_acceleration),
         left_road_boundary=left_b,
         right_road_boundary=right_b,
+        boundary_constraints=bool(
+            gps.get("boundary_constraints", False)),
     )
 
 

@@ -83,6 +83,57 @@ class ObstacleParams:
 # Number of two-sided inequality rows emitted per stage (fixed shape):
 #   1 friction-circle row + 9 circle-distance rows.
 NUM_INEQ = 10
+# Optional road-boundary rows: 3 ego circles x 2 boundaries.  The reference
+# carries this constraint set commented out (``optimizer.py:113-161,
+# 404-410``: min distance of each ego circle to each boundary polyline
+# >= r_ego); here it is a first-class optional feature.
+NUM_BOUNDARY = 6
+
+
+def signed_distance_to_polyline(p: jax.Array, poly: jax.Array) -> jax.Array:
+    """Signed distance of point ``p`` (2,) to a polyline (NB, 2).
+
+    Sign follows the cross product of the nearest segment direction with the
+    offset vector (positive = left of the directed polyline).  Callers
+    calibrate the sign per boundary so that positive means "inside the road".
+    """
+    a = poly[:-1]
+    b = poly[1:]
+    ab = b - a
+    ab2 = jnp.sum(ab * ab, axis=1)
+    t = jnp.clip(jnp.sum((p - a) * ab, axis=1)
+                 / jnp.where(ab2 < 1e-12, 1e-12, ab2), 0.0, 1.0)
+    proj = a + t[:, None] * ab
+    d2 = jnp.sum((proj - p) ** 2, axis=1)
+    i = jnp.argmin(d2)
+    cross = ab[i, 0] * (p[1] - a[i, 1]) - ab[i, 1] * (p[0] - a[i, 0])
+    return jnp.sign(cross) * jnp.sqrt(d2[i] + 1e-12)
+
+
+def boundary_rows(x: jax.Array, ego_length: float, ego_width: float,
+                  boundaries: jax.Array, boundary_signs: jax.Array,
+                  r_ego: float):
+    """Signed distance of each ego circle to each boundary, shape (6,).
+
+    boundaries: (2, NB, 2) padded polylines (left, right);
+    boundary_signs: (2,) +-1 so that h > 0 means inside the road.
+    The reference's commented version (``optimizer.py:18-30, 404-410``) uses
+    UNSIGNED min point distance — which is also satisfied outside the road
+    and actively pushes an ego near the line to either side; the signed form
+    is the corrected behavior.  lo = r_ego per ``optimizer.py:449-454``.
+    """
+    psi = x[..., 4]
+    ego = circle_centers(x[..., 0], x[..., 1], ego_length, ego_width, psi)
+
+    def per_pair(center, b_idx):
+        d = signed_distance_to_polyline(center, boundaries[b_idx])
+        return boundary_signs[b_idx] * d
+
+    h = jnp.stack([per_pair(ego[i], j)
+                   for i in range(3) for j in range(2)])
+    lo = jnp.full((6,), r_ego, x.dtype)
+    hi = jnp.full((6,), jnp.inf, x.dtype)
+    return h, lo, hi
 
 
 def stage_ineq_forcespro(x: jax.Array, u: jax.Array, obs: ObstacleParams,
@@ -92,8 +143,14 @@ def stage_ineq_forcespro(x: jax.Array, u: jax.Array, obs: ObstacleParams,
 
     Returns (h, lo, hi):
       h[0]    = a^2 + (v * psidot)^2,                  in [0, a_max^2]
-      h[1:10] = squared distances ego circle i <-> obstacle circle j,
-                in [(r_ego+r_obs)^2, inf)   (all 9 pairs)
+      h[1:10] = distances ego circle i <-> obstacle circle j,
+                in [r_ego+r_obs, inf)   (all 9 pairs)
+
+    NOTE: the reference emits the distance rows SQUARED
+    (``optimizer.py:146-155``: d^2 >= (r_ego+r_obs)^2).  The feasible set of
+    d >= r is identical; the sqrt form is used here because its gradients
+    are unit-norm (the squared form's scale with d, which conditions the AL
+    badly when rows activate deep in the horizon).  Same 9-pair structure.
     """
     v, delta, psi = x[..., 3], x[..., 2], x[..., 4]
     a = u[..., 1]
@@ -103,15 +160,17 @@ def stage_ineq_forcespro(x: jax.Array, u: jax.Array, obs: ObstacleParams,
     ego = circle_centers(x[..., 0], x[..., 1], ego_length, ego_width, psi)
     # (3, 1, 2) - (1, 3, 2) -> (3, 3, 2): all ego-circle x obstacle-circle pairs
     diff = ego[..., :, None, :] - obs.centers[..., None, :, :]
-    d2 = jnp.sum(diff * diff, axis=-1).reshape(*x.shape[:-1], 9)
+    eps = 1e-9  # sqrt grad guard at exactly-coincident centers
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1).reshape(*x.shape[:-1], 9)
+                 + eps)
 
-    h = jnp.concatenate([friction[..., None], d2], axis=-1)
+    h = jnp.concatenate([friction[..., None], d], axis=-1)
     lo = jnp.concatenate([
         jnp.zeros_like(friction)[..., None],
-        jnp.broadcast_to((obs.min_dist ** 2)[..., None], d2.shape)], axis=-1)
+        jnp.broadcast_to(obs.min_dist[..., None], d.shape)], axis=-1)
     hi = jnp.concatenate([
         jnp.full_like(friction, a_max ** 2)[..., None],
-        jnp.full_like(d2, jnp.inf)], axis=-1)
+        jnp.full_like(d, jnp.inf)], axis=-1)
     return h, lo, hi
 
 

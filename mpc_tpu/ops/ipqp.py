@@ -1,0 +1,197 @@
+"""Primal-dual interior-point stagewise QP + real-time-iteration SQP.
+
+This is the "condensed-QP / Riccati-sweep backend" of the north star: the
+role IPOPT plays for the reference's CasADi path and the generated
+SQP_NLP solver plays for FORCESPRO (``optimizer.py:558``, ``optimizer.py:
+197-245``) — but batched, fixed-iteration, and compiled by XLA.
+
+Each SQP iteration linearizes dynamics + constraint rows at the current
+trajectory and solves the resulting two-sided-row stagewise QP
+
+    min  1/2 dz' H dz + g' dz
+    s.t. dx_{k+1} = A_k dx_k + B_k du_k + r_k,   dx_0 = 0
+         lo <= J_k dz_k + h_k <= hi
+
+with a slack primal-dual interior-point method (HPIPM-style):
+  * each IP Newton step reduces, after eliminating slacks and row duals, to
+    an equality-constrained stagewise QP with row-weighted Hessian
+    H + J' diag(sigma) J — solved exactly by the existing Riccati sweep;
+  * fraction-to-boundary steps keep slacks/duals strictly positive;
+  * the barrier parameter follows the average complementarity gap;
+  * iteration counts are FIXED (no data-dependent control flow), so
+    thousands of lanes run in lockstep under vmap.
+
+Unlike the augmented-Lagrangian path (``ops.sqp``), the applied step
+respects the *linearized* constraints to IP tolerance at every MPC step —
+the property that makes warm-started real-time iteration robust when
+constraints activate suddenly (obstacle entering the horizon).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mpc_tpu.ops import riccati
+
+NX = 5
+NU = 2
+
+
+class QpData(NamedTuple):
+    """Stagewise QP data (single lane).
+
+    H_*: cost blocks per stage; J: (H+1, NROWS, NX+NU) row Jacobians
+    (terminal rows use only the dx columns); h0/lo/hi: (H+1, NROWS).
+    """
+
+    Q: jax.Array      # (H, NX, NX)
+    R: jax.Array      # (H, NU, NU)
+    M: jax.Array      # (H, NX, NU)
+    qx: jax.Array     # (H, NX)
+    qu: jax.Array     # (H, NU)
+    QH: jax.Array     # (NX, NX)
+    qH: jax.Array     # (NX,)
+    A: jax.Array      # (H, NX, NX)
+    B: jax.Array      # (H, NX, NU)
+    r: jax.Array      # (H, NX)
+    J: jax.Array      # (H+1, NROWS, NX+NU)
+    h0: jax.Array     # (H+1, NROWS)
+    lo: jax.Array     # (H+1, NROWS)
+    hi: jax.Array     # (H+1, NROWS)
+
+
+class IpState(NamedTuple):
+    dX: jax.Array     # (H+1, NX)
+    dU: jax.Array     # (H, NU)
+    s_lo: jax.Array   # (H+1, NROWS) slacks for c - lo
+    s_hi: jax.Array   # (H+1, NROWS) slacks for hi - c
+    z_lo: jax.Array   # (H+1, NROWS) duals
+    z_hi: jax.Array   # (H+1, NROWS)
+    mu: jax.Array     # () barrier parameter
+
+
+def _rows_value(qp: QpData, dX, dU):
+    """c_k = J_k dz_k + h0_k for all stages (terminal uses dU[H-1])."""
+    dU_ext = jnp.concatenate([dU, dU[-1:]], axis=0)
+    dz = jnp.concatenate([dX, dU_ext], axis=1)          # (H+1, NX+NU)
+    return jnp.einsum("krz,kz->kr", qp.J, dz) + qp.h0
+
+
+def init_ip(qp: QpData, mu0: float = 1.0, s_min: float = 1e-2) -> IpState:
+    dX = jnp.zeros((qp.A.shape[0] + 1, NX), qp.A.dtype)
+    dU = jnp.zeros((qp.A.shape[0], NU), qp.A.dtype)
+    c = qp.h0
+    m_lo = jnp.isfinite(qp.lo)
+    m_hi = jnp.isfinite(qp.hi)
+    s_lo = jnp.where(m_lo, jnp.maximum(c - qp.lo, s_min), 1.0)
+    s_hi = jnp.where(m_hi, jnp.maximum(qp.hi - c, s_min), 1.0)
+    z_lo = jnp.where(m_lo, mu0 / s_lo, 0.0)
+    z_hi = jnp.where(m_hi, mu0 / s_hi, 0.0)
+    return IpState(dX=dX, dU=dU, s_lo=s_lo, s_hi=s_hi, z_lo=z_lo,
+                   z_hi=z_hi, mu=jnp.asarray(mu0, qp.A.dtype))
+
+
+def _cost_grad(qp: QpData, dX, dU):
+    """Gradient of the QP objective at the current primal, per stage."""
+    gx = (jnp.einsum("kij,kj->ki", qp.Q, dX[:-1])
+          + jnp.einsum("kij,kj->ki", qp.M, dU) + qp.qx)
+    gu = (jnp.einsum("kji,kj->ki", qp.M, dX[:-1])
+          + jnp.einsum("kij,kj->ki", qp.R, dU) + qp.qu)
+    gH = qp.QH @ dX[-1] + qp.qH
+    return gx, gu, gH
+
+
+def ip_iteration(qp: QpData, st: IpState, reg: float,
+                 sigma: float = 0.2, tau: float = 0.995) -> IpState:
+    """One primal-dual Newton step on the QP (fixed-shape)."""
+    m_lo = jnp.isfinite(qp.lo)
+    m_hi = jnp.isfinite(qp.hi)
+    c = _rows_value(qp, st.dX, st.dU)
+    rs_lo = jnp.where(m_lo, st.s_lo - (c - qp.lo), 0.0)
+    rs_hi = jnp.where(m_hi, st.s_hi - (qp.hi - c), 0.0)
+
+    sig_lo = jnp.where(m_lo, st.z_lo / st.s_lo, 0.0)
+    sig_hi = jnp.where(m_hi, st.z_hi / st.s_hi, 0.0)
+    sigma_rows = sig_lo + sig_hi                       # (H+1, NROWS)
+
+    mu = st.mu
+    q_rows = (jnp.where(m_hi, mu / st.s_hi, 0.0)
+              - jnp.where(m_lo, mu / st.s_lo, 0.0)
+              + sig_hi * rs_hi - sig_lo * rs_lo)
+    # total row-dual contribution at current point: z_hi - z_lo enters the
+    # stationarity residual; the Newton elimination folds it plus q_rows
+    w_rows = (st.z_hi - st.z_lo) + q_rows
+
+    # stage quadratic: cost + row terms
+    JtSJ = jnp.einsum("krz,kr,krw->kzw", qp.J, sigma_rows, qp.J)
+    Jtw = jnp.einsum("krz,kr->kz", qp.J, w_rows)
+
+    gx, gu, gH = _cost_grad(qp, st.dX, st.dU)
+    Qs = qp.Q + JtSJ[:-1, :NX, :NX]
+    Rs = qp.R + JtSJ[:-1, NX:, NX:]
+    Ms = qp.M + JtSJ[:-1, :NX, NX:]
+    qx = gx + Jtw[:-1, :NX]
+    qu = gu + Jtw[:-1, NX:]
+    QHs = qp.QH + JtSJ[-1, :NX, :NX]
+    qHs = gH + Jtw[-1, :NX]
+
+    quad = riccati.StageQuad(Q=Qs, R=Rs, M=Ms, qx=qx, qu=qu)
+    # defects of the current primal (zero if steps preserve linear dynamics,
+    # but computed for safety)
+    defect = (jnp.einsum("kij,kj->ki", qp.A, st.dX[:-1])
+              + jnp.einsum("kij,kj->ki", qp.B, st.dU) + qp.r
+              - st.dX[1:])
+    dyn = riccati.LinDyn(A=qp.A, B=qp.B, r=defect)
+    ddX, ddU, _ = riccati.solve_lqr(quad, QHs, qHs, dyn,
+                                    jnp.zeros(NX, qp.A.dtype), reg)
+
+    # recover slack/dual steps
+    ddU_ext = jnp.concatenate([ddU, ddU[-1:]], axis=0)
+    ddz = jnp.concatenate([ddX, ddU_ext], axis=1)
+    Jd = jnp.einsum("krz,kz->kr", qp.J, ddz)
+    ds_lo = jnp.where(m_lo, Jd - rs_lo, 0.0)
+    ds_hi = jnp.where(m_hi, -Jd - rs_hi, 0.0)
+    dz_lo = jnp.where(m_lo, mu / st.s_lo - st.z_lo
+                      - sig_lo * ds_lo, 0.0)
+    dz_hi = jnp.where(m_hi, mu / st.s_hi - st.z_hi
+                      - sig_hi * ds_hi, 0.0)
+
+    # fraction-to-boundary step length (scalar per lane)
+    def max_step(v, dv, mask):
+        ratio = jnp.where(mask & (dv < 0), -v / jnp.where(dv < 0, dv, -1.0),
+                          jnp.inf)
+        return jnp.min(ratio)
+
+    alpha = jnp.minimum(1.0, tau * jnp.minimum(
+        jnp.minimum(max_step(st.s_lo, ds_lo, m_lo),
+                    max_step(st.s_hi, ds_hi, m_hi)),
+        jnp.minimum(max_step(st.z_lo, dz_lo, m_lo),
+                    max_step(st.z_hi, dz_hi, m_hi))))
+
+    s_lo = jnp.where(m_lo, st.s_lo + alpha * ds_lo, 1.0)
+    s_hi = jnp.where(m_hi, st.s_hi + alpha * ds_hi, 1.0)
+    z_lo = jnp.where(m_lo, st.z_lo + alpha * dz_lo, 0.0)
+    z_hi = jnp.where(m_hi, st.z_hi + alpha * dz_hi, 0.0)
+
+    # barrier update from the average complementarity gap
+    n_act = (jnp.sum(m_lo) + jnp.sum(m_hi)).astype(qp.A.dtype)
+    gap = (jnp.sum(jnp.where(m_lo, s_lo * z_lo, 0.0))
+           + jnp.sum(jnp.where(m_hi, s_hi * z_hi, 0.0))) / n_act
+    mu_new = jnp.maximum(sigma * gap, 1e-8)
+
+    return IpState(dX=st.dX + alpha * ddX, dU=st.dU + alpha * ddU,
+                   s_lo=s_lo, s_hi=s_hi, z_lo=z_lo, z_hi=z_hi, mu=mu_new)
+
+
+def solve_qp(qp: QpData, n_iters: int = 10, reg: float = 1e-7,
+             mu0: float = 1.0) -> IpState:
+    """Fixed-iteration IP solve of the stagewise QP (single lane)."""
+    st = init_ip(qp, mu0)
+
+    def body(s, _):
+        return ip_iteration(qp, s, reg), None
+
+    st, _ = jax.lax.scan(body, st, None, length=n_iters)
+    return st

@@ -45,6 +45,11 @@ NU = dyn_mod.NU
 NROWS = C.NUM_INEQ + 4
 
 
+def nrows(cfg) -> int:
+    """Stage row count: base rows + optional road-boundary rows."""
+    return NROWS + (C.NUM_BOUNDARY if cfg.boundary_rows else 0)
+
+
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """Static solver configuration (hashable; baked into the XLA program)."""
@@ -68,7 +73,10 @@ class SolverConfig:
     al_iters: int = 3                # outer multiplier/penalty updates
     reg: float = 1e-6                # Quu regularization (ref: 5e-6 BFGS reg)
     mu0: float = 10.0                # initial AL penalty
-    mu_factor: float = 8.0           # penalty growth per outer iteration
+    mu_factor: float = 8.0           # penalty growth for stalled rows
+    mu_max: float = 1e5              # per-row penalty ceiling
+    viol_improve: float = 0.25       # row counts as improving if its
+                                     # violation fell to this fraction
     lam_max: float = 1e6             # multiplier clamp (soft-slack behavior)
     # geometric ladder tuned against golden-parity + batch-feasibility sweeps
     # (tests/test_closed_loop.py quality gates); widen for stiffer penalties
@@ -80,6 +88,15 @@ class SolverConfig:
     lqr_backend: str = "scan"        # 'scan' (sequential Riccati) | 'pscan'
                                      # (log-depth associative scan; shard the
                                      # stage axis for long horizons)
+    boundary_rows: bool = False      # enable road-boundary rows (the
+                                     # reference ships these commented out,
+                                     # optimizer.py:113-161)
+    method: str = "al"               # 'al' (augmented-Lagrangian iLQR) |
+                                     # 'ip' (RTI-SQP over the interior-point
+                                     # stagewise QP, ops.ipqp — hard
+                                     # linearized constraints per step)
+    ip_sqp_iters: int = 3            # SQP linearizations per solve (ip mode)
+    ip_iters: int = 10               # IP Newton steps per QP (ip mode)
 
     def __post_init__(self):
         if self.horizon < 1:
@@ -90,6 +107,8 @@ class SolverConfig:
             raise ValueError(f"unknown formulation '{self.formulation}'")
         if self.lqr_backend not in ("scan", "pscan"):
             raise ValueError(f"unknown lqr_backend '{self.lqr_backend}'")
+        if self.method not in ("al", "ip"):
+            raise ValueError(f"unknown method '{self.method}' (al|ip)")
         if self.sqp_iters < 1 or self.al_iters < 1:
             raise ValueError("sqp_iters and al_iters must be >= 1")
 
@@ -97,10 +116,14 @@ class SolverConfig:
 class SqpState(NamedTuple):
     """Warm-startable solver state (pytree; one lane)."""
 
-    U: jax.Array        # (H, NU) input trajectory
-    lam_lo: jax.Array   # (H+1, NROWS) multipliers for lo - h <= 0
-    lam_hi: jax.Array   # (H+1, NROWS) multipliers for h - hi <= 0
-    mu: jax.Array       # () AL penalty
+    U: jax.Array         # (H, NU) input trajectory
+    lam_lo: jax.Array    # (H+1, NROWS) multipliers for lo - h <= 0
+    lam_hi: jax.Array    # (H+1, NROWS) multipliers for h - hi <= 0
+    mu: jax.Array        # (H+1, NROWS) per-row AL penalties (ALGENCAN-style:
+                         # only rows whose violation stalls get stiffened —
+                         # a single global penalty either under-drives active
+                         # rows or blows up line searches on inactive ones)
+    prev_viol: jax.Array  # (H+1, NROWS) violation at the last outer update
 
 
 class OcpParams(NamedTuple):
@@ -121,6 +144,9 @@ class OcpParams(NamedTuple):
     obs_centers: jax.Array
     min_dist: jax.Array
     weights: cost_mod.Weights
+    boundaries: jax.Array | None = None  # (2, NB, 2) padded road-boundary
+                                         # polylines (boundary_rows configs)
+    boundary_signs: jax.Array | None = None  # (2,) +-1: positive = inside
 
 
 class Solution(NamedTuple):
@@ -144,7 +170,7 @@ def _step_fn(cfg: SolverConfig):
 
 
 def _stage_rows(cfg: SolverConfig, x, u, obs: C.ObstacleParams,
-                stage_idx: jax.Array):
+                stage_idx: jax.Array, boundaries=None, boundary_signs=None):
     """All NROWS two-sided rows for one stage: formulation rows + boxes.
 
     stage_idx: scalar int; stage H is the terminal stage (u rows masked, and
@@ -175,9 +201,20 @@ def _stage_rows(cfg: SolverConfig, x, u, obs: C.ObstacleParams,
         jnp.where(is_term, jnp.inf, u_hi[0]),
         jnp.where(is_term, jnp.inf, u_hi[1]),
         x_hi[2], x_hi[3]])
-    return (jnp.concatenate([h, box_h]),
-            jnp.concatenate([lo, box_lo]),
-            jnp.concatenate([hi, box_hi]))
+    hs = [h, box_h]
+    los = [lo, box_lo]
+    his = [hi, box_hi]
+    if cfg.boundary_rows:
+        if boundaries is None or boundary_signs is None:
+            raise ValueError(
+                "boundary_rows=True needs params.boundaries + signs")
+        r_ego, _ = C.approx_circle_radius(cfg.ego_length, cfg.ego_width)
+        bh, blo, bhi = C.boundary_rows(x, cfg.ego_length, cfg.ego_width,
+                                       boundaries, boundary_signs, r_ego)
+        hs.append(bh)
+        los.append(blo)
+        his.append(bhi)
+    return (jnp.concatenate(hs), jnp.concatenate(los), jnp.concatenate(his))
 
 
 def _all_rows(cfg: SolverConfig, X, U, params: OcpParams):
@@ -186,7 +223,8 @@ def _all_rows(cfg: SolverConfig, X, U, params: OcpParams):
                            min_dist=params.min_dist)
     U_ext = jnp.concatenate([U, U[-1:]], axis=0)  # stage H reuses U[H-1]
     idx = jnp.arange(cfg.horizon + 1)
-    return jax.vmap(lambda x, u, k: _stage_rows(cfg, x, u, obs, k))(
+    return jax.vmap(lambda x, u, k: _stage_rows(
+        cfg, x, u, obs, k, params.boundaries, params.boundary_signs))(
         X, U_ext, idx)
 
 
@@ -276,7 +314,8 @@ def _build_quadratic(cfg: SolverConfig, X, U, params: OcpParams,
 
     def rows_z(z, k):
         x, u = z[:NX], z[NX:]
-        hh, _, _ = _stage_rows(cfg, x, u, obs, k)
+        hh, _, _ = _stage_rows(cfg, x, u, obs, k, params.boundaries,
+                               params.boundary_signs)
         return hh
 
     idx = jnp.arange(cfg.horizon + 1)
@@ -372,16 +411,130 @@ def _kkt_residuals(cfg: SolverConfig, params: OcpParams, X, U,
     return stat, jnp.max(viol)
 
 
+def _solve_ip(cfg: SolverConfig, params: OcpParams,
+              state: SqpState) -> Solution:
+    """RTI-SQP over the interior-point stagewise QP (``ops.ipqp``).
+
+    Each SQP iteration linearizes cost/dynamics/rows at the trajectory and
+    takes the full QP step (real-time-iteration, like FORCESPRO's
+    ``maxqps=1`` warm-started deployment, ``optimizer.py:237``); multiple-
+    shooting defects are carried in the QP's dynamics residual channel.
+    """
+    from mpc_tpu.ops import ipqp
+
+    w = params.weights
+    dtype = params.x0.dtype
+    obs = C.ObstacleParams(centers=params.obs_centers,
+                           min_dist=params.min_dist)
+    step = _step_fn(cfg)
+    H = cfg.horizon
+
+    X = _rollout(cfg, params.x0, state.U)
+    U = state.U
+
+    def rows_z(z, k):
+        x, u = z[:NX], z[NX:]
+        hh, _, _ = _stage_rows(cfg, x, u, obs, k, params.boundaries,
+                               params.boundary_signs)
+        return hh
+
+    idx = jnp.arange(H + 1)
+
+    def sqp_iter(carry, _):
+        X, U = carry
+        A = jax.vmap(jax.jacfwd(step, argnums=0))(X[:-1], U)
+        B = jax.vmap(jax.jacfwd(step, argnums=1))(X[:-1], U)
+        defect = jax.vmap(step)(X[:-1], U) - X[1:]
+
+        U_ext = jnp.concatenate([U, U[-1:]], axis=0)
+        Z = jnp.concatenate([X, U_ext], axis=1)
+        h0, lo, hi = _all_rows(cfg, X, U, params)
+        J = jax.vmap(jax.jacfwd(rows_z))(Z, idx)
+
+        dx = X - params.x_ref
+        Q_cost = jnp.broadcast_to(2.0 * jnp.diag(w.q).astype(dtype),
+                                  (H, NX, NX))
+        R_cost = jnp.broadcast_to(2.0 * jnp.diag(w.r).astype(dtype),
+                                  (H, NU, NU))
+        M_cost = jnp.zeros((H, NX, NU), dtype)
+        qx = 2.0 * w.q * dx[:-1]
+        qu = 2.0 * w.r * U
+        if cfg.use_terminal_cost:
+            QH = 2.0 * jnp.diag(w.qN).astype(dtype)
+            qH = 2.0 * w.qN * dx[-1]
+        else:
+            QH = jnp.zeros((NX, NX), dtype)
+            qH = jnp.zeros((NX,), dtype)
+
+        qp = ipqp.QpData(Q=Q_cost, R=R_cost, M=M_cost, qx=qx, qu=qu,
+                         QH=QH, qH=qH, A=A, B=B, r=defect,
+                         J=J, h0=h0, lo=lo, hi=hi)
+        st = ipqp.solve_qp(qp, n_iters=cfg.ip_iters, reg=cfg.reg)
+        dU_dir = jnp.nan_to_num(st.dU, nan=0.0, posinf=0.0, neginf=0.0)
+        # exact-penalty filter line search on the TRUE nonlinear problem:
+        # the QP respects linearized rows, but quartic rows (friction) can
+        # overshoot under a full RTI step.  Candidates are evaluated on the
+        # dynamics-consistent rollout of the clamped inputs.
+        u_lo_, u_hi_, _, _ = cfg.bounds.as_arrays(dtype)
+        rho = jnp.asarray(1e3, dtype)
+
+        def try_alpha(a):
+            Ua = jnp.clip(U + a * dU_dir, u_lo_, u_hi_)
+            Xa = _rollout(cfg, params.x0, Ua)
+            hh, ll, hh2 = _all_rows(cfg, Xa, Ua, params)
+            v = jnp.maximum(jnp.maximum(ll - hh, hh - hh2), 0.0)
+            v = jnp.where(jnp.isfinite(v), v, 0.0)
+            phi = _objective(cfg, Xa, Ua, params) + rho * jnp.sum(v)
+            phi = jnp.where(jnp.isnan(phi), jnp.inf, phi)
+            return phi, Xa, Ua
+
+        alphas = jnp.asarray((1.0, 0.5, 0.25, 0.1, 0.03), dtype)
+        phis, Xs, Us = jax.vmap(try_alpha)(alphas)
+        phi0, _, _ = try_alpha(jnp.asarray(0.0, dtype))
+        best = jnp.argmin(phis)
+        take = phis[best] < phi0
+        X_new = jnp.where(take, Xs[best], X)
+        U_new = jnp.where(take, Us[best], U)
+        return (X_new, U_new), None
+
+    (X, U), _ = jax.lax.scan(sqp_iter, (X, U), None,
+                             length=cfg.ip_sqp_iters)
+
+    # final consistency rollout (closes multiple-shooting defects) + clamp
+    u_lo, u_hi, _, _ = cfg.bounds.as_arrays(dtype)
+    U = jnp.clip(U, u_lo, u_hi)
+    X = _rollout(cfg, params.x0, U)
+
+    h, lo, hi = _all_rows(cfg, X, U, params)
+    viol = jnp.maximum(jnp.maximum(lo - h, h - hi), 0.0)
+    viol = jnp.where(jnp.isfinite(viol), viol, 0.0)
+    viol_max = jnp.max(viol)
+    feasible = viol_max < jnp.asarray(cfg.tol_infeas, dtype)
+    status = jnp.where(viol_max < cfg.tol_feas, 1,
+                       jnp.where(feasible, 0, -7)).astype(jnp.int32)
+
+    new_state = state._replace(U=U, prev_viol=viol)
+    return Solution(X=X, U=U, state=new_state, status=status,
+                    kkt_stat=jnp.asarray(0.0, dtype), viol=viol_max,
+                    cost=_objective(cfg, X, U, params),
+                    merit=_objective(cfg, X, U, params))
+
+
 def solve(cfg: SolverConfig, params: OcpParams, state: SqpState) -> Solution:
     """Solve one NMPC problem (single lane). Fixed iteration structure:
 
         for outer in range(al_iters):      # multiplier/penalty updates
             for inner in range(sqp_iters): # Gauss-Newton + Riccati + LS
+
+    With ``cfg.method == 'ip'`` the AL loop is replaced by the RTI-SQP over
+    the interior-point stagewise QP (see ``_solve_ip``).
     """
+    if cfg.method == "ip":
+        return _solve_ip(cfg, params, state)
     X0 = _rollout(cfg, params.x0, state.U)
 
     def outer(carry, _):
-        X, U, lam_lo, lam_hi, mu = carry
+        X, U, lam_lo, lam_hi, mu, prev_viol = carry
 
         def inner(c, _):
             Xc, Uc = c
@@ -390,17 +543,24 @@ def solve(cfg: SolverConfig, params: OcpParams, state: SqpState) -> Solution:
 
         (X, U), _ = jax.lax.scan(inner, (X, U), None, length=cfg.sqp_iters)
 
-        # first-order multiplier update + penalty growth
+        # first-order multiplier update + per-row penalty growth: stiffen
+        # only rows whose violation did not improve enough (ALGENCAN rule)
         h, lo, hi = _all_rows(cfg, X, U, params)
         t_hi = lam_hi + mu * (h - hi)
         t_lo = lam_lo + mu * (lo - h)
         lam_hi = jnp.clip(jnp.where(t_hi > 0, t_hi, 0.0), 0.0, cfg.lam_max)
         lam_lo = jnp.clip(jnp.where(t_lo > 0, t_lo, 0.0), 0.0, cfg.lam_max)
-        mu = mu * cfg.mu_factor
-        return (X, U, lam_lo, lam_hi, mu), None
+        viol_row = jnp.maximum(jnp.maximum(lo - h, h - hi), 0.0)
+        viol_row = jnp.where(jnp.isfinite(viol_row), viol_row, 0.0)
+        stalled = viol_row > cfg.viol_improve * prev_viol
+        active = viol_row > cfg.tol_feas
+        mu = jnp.where(stalled & active, mu * cfg.mu_factor, mu)
+        mu = jnp.clip(mu, cfg.mu0, cfg.mu_max)
+        return (X, U, lam_lo, lam_hi, mu, viol_row), None
 
-    init = (X0, state.U, state.lam_lo, state.lam_hi, state.mu)
-    (X, U, lam_lo, lam_hi, mu), _ = jax.lax.scan(
+    init = (X0, state.U, state.lam_lo, state.lam_hi, state.mu,
+            state.prev_viol)
+    (X, U, lam_lo, lam_hi, mu, prev_viol), _ = jax.lax.scan(
         outer, init, None, length=cfg.al_iters)
 
     stat, viol = _kkt_residuals(cfg, params, X, U, lam_lo, lam_hi, mu)
@@ -409,8 +569,8 @@ def solve(cfg: SolverConfig, params: OcpParams, state: SqpState) -> Solution:
     status = jnp.where(converged, 1, jnp.where(feasible, 0, -7)).astype(
         jnp.int32)
 
-    new_state = SqpState(U=U, lam_lo=lam_lo, lam_hi=lam_hi,
-                         mu=jnp.asarray(cfg.mu0, X.dtype))
+    new_state = SqpState(U=U, lam_lo=lam_lo, lam_hi=lam_hi, mu=mu,
+                         prev_viol=prev_viol)
     return Solution(X=X, U=U, state=new_state, status=status,
                     kkt_stat=stat, viol=viol,
                     cost=_objective(cfg, X, U, params),
@@ -422,11 +582,15 @@ def init_state(cfg: SolverConfig, U0: jax.Array | None = None,
     """Fresh solver state (cold start)."""
     H = cfg.horizon
     U = jnp.zeros((H, NU), dtype) if U0 is None else U0.astype(dtype)
+    nr = nrows(cfg)
     return SqpState(
         U=U,
-        lam_lo=jnp.zeros((H + 1, NROWS), dtype),
-        lam_hi=jnp.zeros((H + 1, NROWS), dtype),
-        mu=jnp.asarray(cfg.mu0, dtype))
+        lam_lo=jnp.zeros((H + 1, nr), dtype),
+        lam_hi=jnp.zeros((H + 1, nr), dtype),
+        mu=jnp.full((H + 1, nr), cfg.mu0, dtype),
+        # zeros => any initially-violated row counts as stalled on the first
+        # outer update and gets stiffened immediately
+        prev_viol=jnp.zeros((H + 1, nr), dtype))
 
 
 @partial(jax.jit, static_argnums=0)

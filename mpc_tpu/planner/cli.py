@@ -35,13 +35,27 @@ def main(argv=None) -> int:
                     help="disable actuation noise regardless of the config")
     ap.add_argument("--gif", action="store_true",
                     help="render per-step PNGs + animated GIF (slow)")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace of the solve")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="enable jax debug_nans (slow; aborts on NaN)")
     args = ap.parse_args(argv)
+
+    import jax
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     config = load_config(args.config, args.scenario_dir)
     planner = MPCPlanner(config, horizon=args.horizon,
                          noised=False if args.deterministic else None,
                          seed=args.seed)
-    result = planner.plan()
+    if args.profile_dir:
+        with jax.profiler.trace(args.profile_dir):
+            result = planner.plan()
+        print(f"profiler trace written to {args.profile_dir}",
+              file=sys.stderr)
+    else:
+        result = planner.plan()
 
     summary = {
         "scenario": config.scenario_name,

@@ -59,6 +59,8 @@ class LoopParams(NamedTuple):
     min_dist: jax.Array        # ()
     weights: cost_mod.Weights
     noise_key: jax.Array       # PRNG key
+    boundaries: jax.Array | None = None  # (2, NB, 2) when boundary_rows
+    boundary_signs: jax.Array | None = None  # (2,) +-1: positive = inside
 
 
 class LoopResult(NamedTuple):
@@ -85,10 +87,20 @@ def make_loop_config(cfg: PlanningConfig,
         H = max(N - 1, 1)
         integ = "rk4"
         use_term = True
+        # hard linearized constraints per RTI step (ops.ipqp) — the robust
+        # choice when obstacles enter a short horizon at speed; mirrors the
+        # reference FORCESPRO deployment's hard-constrained QP
+        solver_overrides.setdefault("method", "ip")
     else:
         H = N
         integ = "euler"
         use_term = False
+        # AL handles the CasADi formulation's degenerate stage-0 friction
+        # row (|a^2 + ...|: flat linearization at a=0 breaks QP steps) and
+        # reproduces the reference goldens bit-close
+        solver_overrides.setdefault("method", "al")
+    if cfg.boundary_constraints:
+        solver_overrides.setdefault("boundary_rows", True)
     p = cfg.vehicle
     solver_cfg = sqp.SolverConfig(
         horizon=H,
@@ -111,6 +123,41 @@ def make_loop_config(cfg: PlanningConfig,
                       noise_std=std, plant_integrator=integ)
 
 
+_BOUNDARY_POINTS = 128  # fixed boundary polyline resampling (static shape)
+
+
+def _prepare_boundaries(cfg: PlanningConfig, dtype):
+    """Resample both boundaries to (2, NB, 2) + inside-positive signs."""
+    from mpc_tpu.utils.geometry import (compute_polyline_length,
+                                        resample_polyline)
+    import numpy as np
+
+    out = []
+    for b in (cfg.left_road_boundary, cfg.right_road_boundary):
+        if b is None or len(b) < 2:
+            # far-away dummy: rows trivially satisfied
+            out.append(np.full((_BOUNDARY_POINTS, 2), 1e6))
+            continue
+        L = compute_polyline_length(np.asarray(b, float))
+        step = max(L / (_BOUNDARY_POINTS - 1), 1e-3)
+        rs = resample_polyline(np.asarray(b, float), step)[:_BOUNDARY_POINTS]
+        if len(rs) < _BOUNDARY_POINTS:
+            rs = np.concatenate(
+                [rs, np.repeat(rs[-1:], _BOUNDARY_POINTS - len(rs), axis=0)])
+        out.append(rs)
+    arr = np.stack(out)
+    # calibrate signs with a known inside point (reference path midpoint)
+    import jax.numpy as jnp2
+    from mpc_tpu.models.constraints import signed_distance_to_polyline
+    inside = cfg.reference_path[len(cfg.reference_path) // 2]
+    signs = []
+    for b in arr:
+        d = float(signed_distance_to_polyline(
+            jnp2.asarray(inside, dtype), jnp2.asarray(b, dtype)))
+        signs.append(1.0 if d >= 0 else -1.0)
+    return jnp.asarray(arr, dtype), jnp.asarray(signs, dtype)
+
+
 def make_loop_params(cfg: PlanningConfig, lcfg: LoopConfig,
                      seed: int = 0, dtype=jnp.float32) -> LoopParams:
     """Host-side assembly of the per-lane runtime pytree."""
@@ -127,6 +174,10 @@ def make_loop_params(cfg: PlanningConfig, lcfg: LoopConfig,
                                 lcfg.mode, dtype)
     x_init = jnp.asarray([cfg.init_position[0], cfg.init_position[1], 0.0,
                           cfg.init_velocity, cfg.init_orientation], dtype)
+    if lcfg.solver.boundary_rows:
+        boundaries, boundary_signs = _prepare_boundaries(cfg, dtype)
+    else:
+        boundaries, boundary_signs = None, None
     return LoopParams(
         x_init=x_init,
         track=track,
@@ -134,6 +185,8 @@ def make_loop_params(cfg: PlanningConfig, lcfg: LoopConfig,
         min_dist=jnp.asarray(r_ego + r_obs, dtype),
         weights=cost_mod.Weights.from_dict(cfg.weights, dtype),
         noise_key=jax.random.PRNGKey(seed),
+        boundaries=boundaries,
+        boundary_signs=boundary_signs,
     )
 
 
@@ -141,6 +194,18 @@ def _plant_step(lcfg: LoopConfig, x, u):
     step = dyn_mod.make_step_fn(lcfg.plant_integrator, lcfg.solver.dt,
                                 lcfg.solver.wheelbase)
     return step(x, u)
+
+
+def _shift(a):
+    return jnp.concatenate([a[1:], a[-1:]], axis=0)
+
+
+def _shift_state(st: sqp.SqpState) -> sqp.SqpState:
+    """Shift-and-hold warm start across a closed-loop step
+    (``optimizer.py:652-653``), applied to every stagewise field."""
+    return sqp.SqpState(U=_shift(st.U), lam_lo=_shift(st.lam_lo),
+                        lam_hi=_shift(st.lam_hi), mu=_shift(st.mu),
+                        prev_viol=_shift(st.prev_viol))
 
 
 def run_closed_loop(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
@@ -159,7 +224,9 @@ def run_closed_loop(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
         ocp = sqp.OcpParams(x0=x, x_ref=x_ref,
                             obs_centers=params.obs_centers,
                             min_dist=params.min_dist,
-                            weights=params.weights)
+                            weights=params.weights,
+                            boundaries=params.boundaries,
+                            boundary_signs=params.boundary_signs)
         sol = sqp.solve(scfg, ocp, sqp_state)
 
         key, sub = jax.random.split(key)
@@ -169,14 +236,7 @@ def run_closed_loop(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
         x_next = _plant_step(lcfg, x, u_apply)
 
         # shift-and-hold warm start (optimizer.py:652-653)
-        new_state = sol.state
-        U_shift = jnp.concatenate([new_state.U[1:], new_state.U[-1:]], axis=0)
-        lam_lo = jnp.concatenate([new_state.lam_lo[1:],
-                                  new_state.lam_lo[-1:]], axis=0)
-        lam_hi = jnp.concatenate([new_state.lam_hi[1:],
-                                  new_state.lam_hi[-1:]], axis=0)
-        warm = sqp.SqpState(U=U_shift, lam_lo=lam_lo, lam_hi=lam_hi,
-                            mu=new_state.mu)
+        warm = _shift_state(sol.state)
         out = (x, u_apply, sol.status, sol.viol, sol.cost)
         return (x_next, warm, key), out
 
@@ -189,7 +249,9 @@ def run_closed_loop(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
         ocp0 = sqp.OcpParams(x0=params.x_init, x_ref=x_ref0,
                              obs_centers=params.obs_centers,
                              min_dist=params.min_dist,
-                             weights=params.weights)
+                             weights=params.weights,
+                             boundaries=params.boundaries,
+                             boundary_signs=params.boundary_signs)
         init_state = sqp.solve(scfg, ocp0, init_state).state
     carry0 = (params.x_init, init_state, params.noise_key)
     _, (X, U, status, viol, cost) = jax.lax.scan(
@@ -220,19 +282,16 @@ def closed_loop_chunk(lcfg: LoopConfig, params: LoopParams, carry,
         ocp = sqp.OcpParams(x0=x, x_ref=x_ref,
                             obs_centers=params.obs_centers,
                             min_dist=params.min_dist,
-                            weights=params.weights)
+                            weights=params.weights,
+                            boundaries=params.boundaries,
+                            boundary_signs=params.boundary_signs)
         sol = sqp.solve(scfg, ocp, sqp_state)
         key, sub = jax.random.split(key)
         noise = lcfg.noise_std * jax.random.normal(sub, (2,),
                                                    dtype=sol.U.dtype)
         u_apply = sol.U[0] + noise
         x_next = _plant_step(lcfg, x, u_apply)
-        st = sol.state
-        warm = sqp.SqpState(
-            U=jnp.concatenate([st.U[1:], st.U[-1:]], axis=0),
-            lam_lo=jnp.concatenate([st.lam_lo[1:], st.lam_lo[-1:]], axis=0),
-            lam_hi=jnp.concatenate([st.lam_hi[1:], st.lam_hi[-1:]], axis=0),
-            mu=st.mu)
+        warm = _shift_state(sol.state)
         out = (x, u_apply, sol.status, sol.viol, sol.cost)
         return (step_idx + 1, x_next, warm, key), out
 
@@ -254,3 +313,66 @@ def init_carry(lcfg: LoopConfig, params: LoopParams):
 def closed_loop_batch(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
     """vmap over a leading lane axis in every LoopParams leaf."""
     return jax.vmap(lambda p: run_closed_loop(lcfg, p))(params)
+
+
+@partial(jax.jit, static_argnums=0)
+def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
+    """Batched closed loop on the lanes-trailing hot path (ops.sqp_vec).
+
+    Same contract as ``closed_loop_batch``; ~1.6x faster on TPU for the AL
+    method (the sequential Riccati/rollout scans run in lanes-trailing
+    layout).  Falls back to the vmapped path for the IP method.
+    """
+    from mpc_tpu.ops import sqp_vec
+
+    scfg = lcfg.solver
+    if scfg.method != "al":
+        return closed_loop_batch(lcfg, params)
+
+    n = params.x_init.shape[0]
+    dtype = params.x_init.dtype
+
+    def batched_window(step_idx, x):
+        return jax.vmap(
+            lambda tr, xl: ref_mod.window(tr, step_idx, scfg.horizon,
+                                          lcfg.mode, x0=xl))(
+            params.track, x)
+
+    def make_ocp(x, x_ref):
+        return sqp.OcpParams(x0=x, x_ref=x_ref,
+                             obs_centers=params.obs_centers,
+                             min_dist=params.min_dist,
+                             weights=params.weights,
+                             boundaries=params.boundaries,
+                             boundary_signs=params.boundary_signs)
+
+    state = jax.vmap(lambda _: sqp.init_state(
+        scfg, jnp.zeros((scfg.horizon, 2), dtype), dtype))(jnp.arange(n))
+    for _ in range(lcfg.cold_start_solves):
+        x_ref0 = batched_window(jnp.asarray(0), params.x_init)
+        state = sqp_vec.solve_batch_vec(
+            scfg, make_ocp(params.x_init, x_ref0), state).state
+
+    def body(carry, step_idx):
+        x, sqp_state, key = carry
+        x_ref = batched_window(step_idx, x)
+        sol = sqp_vec.solve_batch_vec(scfg, make_ocp(x, x_ref), sqp_state)
+        key, sub = jax.random.split(key)
+        noise = lcfg.noise_std * jax.random.normal(sub, (n, 2), dtype=dtype)
+        u_apply = sol.U[:, 0] + noise
+        x_next = jax.vmap(lambda xl, ul: _plant_step(lcfg, xl, ul))(
+            x, u_apply)
+        warm = jax.vmap(_shift_state)(sol.state)
+        out = (x, u_apply, sol.status, sol.viol, sol.cost)
+        return (x_next, warm, key), out
+
+    key0 = params.noise_key[0] if params.noise_key.ndim > 1 \
+        else params.noise_key
+    carry0 = (params.x_init, state, key0)
+    _, (X, U, status, viol, cost) = jax.lax.scan(
+        body, carry0, jnp.arange(lcfg.n_steps))
+    # scan stacks per-step outputs on axis 0: (T, B, ...) -> (B, T, ...)
+    return LoopResult(X=jnp.swapaxes(X, 0, 1), U=jnp.swapaxes(U, 0, 1),
+                      status=jnp.swapaxes(status, 0, 1),
+                      viol=jnp.swapaxes(viol, 0, 1),
+                      cost=jnp.swapaxes(cost, 0, 1))

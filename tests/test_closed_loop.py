@@ -115,3 +115,28 @@ def test_noise_reproducibility():
     p3 = cl.make_loop_params(c, lcfg, seed=8)
     r3 = cl.closed_loop_jit(lcfg, p3)
     assert np.abs(np.asarray(r1.X) - np.asarray(r3.X)).max() > 1e-4
+
+
+@needs_ref
+def test_boundary_constraints_keep_vehicle_on_road():
+    """Optional road-boundary rows (reference ships them commented out,
+    optimizer.py:113-161): the forcespro-mode CA overtake must stay inside
+    the road with them enabled."""
+    from mpc_tpu.utils import native
+    c = load_config("configs/config_CA_ZAM_Over-1_1_forcespro.yaml", SCN)
+    assert c.boundary_constraints
+    lcfg = cl.make_loop_config(c, noised=False)
+    assert lcfg.solver.boundary_rows
+    params = cl.make_loop_params(c, lcfg)
+    assert params.boundaries.shape[0] == 2
+    res = cl.closed_loop_jit(lcfg, params)
+    X = np.asarray(res.X, dtype=float)
+    hit_l = native.traj_boundary_collision(X, c.vehicle.l, c.vehicle.w,
+                                           c.left_road_boundary)
+    hit_r = native.traj_boundary_collision(X, c.vehicle.l, c.vehicle.w,
+                                           c.right_road_boundary)
+    assert hit_l < 0 and hit_r < 0  # no boundary crossing
+    # still clears the obstacle
+    obs = np.array([c.static_obstacle["position_x"],
+                    c.static_obstacle["position_y"]])
+    assert np.min(np.linalg.norm(X[:, :2] - obs, axis=1)) > 3.2

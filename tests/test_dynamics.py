@@ -134,7 +134,14 @@ def test_forcespro_ineq_rows():
     np.testing.assert_allclose(float(h[0]), 4.0 + (20 * psi_dot) ** 2,
                                rtol=1e-5)
     assert float(hi[0]) == pytest.approx(11.5 ** 2)
-    np.testing.assert_allclose(np.asarray(lo[1:]), (3.3 ** 2) * np.ones(9))
+    # distance rows are kept in sqrt form (identical feasible set to the
+    # reference's squared rows d^2 >= r^2 — see constraints.py docstring)
+    np.testing.assert_allclose(np.asarray(lo[1:]), 3.3 * np.ones(9))
+    # cross-check one pair against hand geometry: ego center at x with
+    # psi=0 -> front circle at x+0.75
+    ego_front = np.array([50.75, 0.0])
+    d_exp = np.linalg.norm(ego_front - np.array([59.9, 0.1]))
+    np.testing.assert_allclose(float(h[4]), d_exp, rtol=1e-5)
 
 
 def test_casadi_ineq_friction_masking():

@@ -61,8 +61,8 @@ def test_accelerate_to_reach_ahead_reference():
 def test_velocity_lower_bound_active():
     # reference demands stopping far behind -> decelerate but v >= 0.
     # stress case: the state bound binds hard against a large tracking
-    # gradient, needing one extra outer AL update beyond the defaults
-    cfg = sqp.SolverConfig(horizon=10, al_iters=4)
+    # gradient, needing extra outer AL updates beyond the defaults
+    cfg = sqp.SolverConfig(horizon=10, al_iters=5)
     H = 10
     x0 = jnp.array([0.0, 0.0, 0.0, 2.0, 0.0])
     x_ref = jnp.stack([

@@ -1,0 +1,74 @@
+"""Multi-device scaling-efficiency benchmark.
+
+Measures warm-started NMPC solves/s at fixed per-device lane count while
+growing the mesh (weak scaling), reporting efficiency vs the single-device
+rate — the BASELINE.json ">85% multi-host scaling efficiency" metric.
+
+On real hardware this runs unchanged on a pod slice (lanes shard over dp,
+only scalar diagnostics cross ICI/DCN).  Without one it demonstrates the
+measurement on the virtual CPU mesh:
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python tools/scaling_bench.py --lanes-per-device 64
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import numpy as np
+
+
+def measure(n_devices: int, lanes_per_device: int, horizon: int,
+            n_steps: int) -> float:
+    from mpc_tpu.parallel import batch as pb
+    from mpc_tpu.parallel import mesh as pm
+    from mpc_tpu.planner import closed_loop as cl
+    from mpc_tpu.utils import synthetic
+
+    mesh = pm.make_mesh((n_devices, 1), devices=jax.devices()[:n_devices])
+    n_lanes = lanes_per_device * n_devices
+    lcfg, params = synthetic.make_bench_loop(
+        n_steps=n_steps, horizon=horizon, n_lanes=n_lanes)
+    res = pb.closed_loop_batch_sharded(lcfg, params, mesh)
+    np.asarray(res.X)
+    t0 = time.perf_counter()
+    res = pb.closed_loop_batch_sharded(lcfg, params, mesh)
+    np.asarray(res.X)
+    dt = time.perf_counter() - t0
+    return n_lanes * n_steps / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lanes-per-device", type=int, default=64)
+    ap.add_argument("--horizon", type=int, default=30)
+    ap.add_argument("--steps", type=int, default=5)
+    args = ap.parse_args()
+
+    n = len(jax.devices())
+    sizes = sorted({1, max(n // 2, 1), n})
+    rates = {}
+    for k in sizes:
+        rates[k] = measure(k, args.lanes_per_device, args.horizon,
+                           args.steps)
+    base = rates[sizes[0]]
+    out = {
+        "metric": "weak_scaling_efficiency",
+        "unit": "solves/s",
+        "platform": jax.devices()[0].platform,
+        "lanes_per_device": args.lanes_per_device,
+        "rates": {str(k): round(v, 1) for k, v in rates.items()},
+        "efficiency": {
+            str(k): round(rates[k] / (base * k), 3) for k in sizes},
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

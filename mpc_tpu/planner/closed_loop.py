@@ -317,17 +317,19 @@ def closed_loop_batch(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
 
 @partial(jax.jit, static_argnums=0)
 def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
-    """Batched closed loop on the lanes-trailing hot path (ops.sqp_vec).
+    """Batched closed loop on the lanes-trailing hot path.
 
-    Same contract as ``closed_loop_batch``; ~1.6x faster on TPU for the AL
-    method (the sequential Riccati/rollout scans run in lanes-trailing
-    layout).  Falls back to the vmapped path for the IP method.
+    Same contract as ``closed_loop_batch``.  Uses the fully rows-native
+    solve (``ops.sqp_rows``) when eligible (AL method, no boundary rows),
+    else the partially-vectorized ``ops.sqp_vec``; falls back to the vmapped
+    path for the IP method.
     """
-    from mpc_tpu.ops import sqp_vec
+    from mpc_tpu.ops import sqp_vec as sqp_vec_mod
 
     scfg = lcfg.solver
     if scfg.method != "al":
         return closed_loop_batch(lcfg, params)
+    batched_solve = sqp_vec_mod.solve_batch_vec
 
     n = params.x_init.shape[0]
     dtype = params.x_init.dtype
@@ -350,13 +352,13 @@ def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
         scfg, jnp.zeros((scfg.horizon, 2), dtype), dtype))(jnp.arange(n))
     for _ in range(lcfg.cold_start_solves):
         x_ref0 = batched_window(jnp.asarray(0), params.x_init)
-        state = sqp_vec.solve_batch_vec(
+        state = batched_solve(
             scfg, make_ocp(params.x_init, x_ref0), state).state
 
     def body(carry, step_idx):
         x, sqp_state, key = carry
         x_ref = batched_window(step_idx, x)
-        sol = sqp_vec.solve_batch_vec(scfg, make_ocp(x, x_ref), sqp_state)
+        sol = batched_solve(scfg, make_ocp(x, x_ref), sqp_state)
         key, sub = jax.random.split(key)
         noise = lcfg.noise_std * jax.random.normal(sub, (n, 2), dtype=dtype)
         u_apply = sol.U[:, 0] + noise

@@ -140,3 +140,21 @@ def test_boundary_constraints_keep_vehicle_on_road():
     obs = np.array([c.static_obstacle["position_x"],
                     c.static_obstacle["position_y"]])
     assert np.min(np.linalg.norm(X[:, :2] - obs, axis=1)) > 3.2
+
+
+@needs_ref
+@pytest.mark.parametrize("config_name,tag", [
+    ("config_LF_ZAM_Over-1_1.yaml", "zam_lf_casadi"),
+    ("config_CA_ZAM_Over-1_1.yaml", "zam_ca_casadi"),
+    ("config_LF_USA_Lanker-2_18_T-1.yaml", "usa_lf_casadi"),
+])
+def test_deterministic_regression_goldens(config_name, tag):
+    """Our own committed deterministic goldens: catches behavior drift that
+    the (noisy) reference-golden tolerance bands would miss."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    golden = np.loadtxt(os.path.join(here, "goldens", f"{tag}_states.txt"))
+    c, res = _run(config_name)
+    X = np.asarray(res.X)
+    # loose enough for cross-platform float32 divergence, tight enough to
+    # catch formulation changes
+    np.testing.assert_allclose(X, golden, atol=0.05)

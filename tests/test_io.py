@@ -131,3 +131,25 @@ def test_config_validation():
     settings["scenario_settings"]["use_case"] = "parking"
     with pytest.raises(ValueError, match="use_case"):
         build_config(settings, s)
+
+
+def test_synthetic_scenario_generator(tmp_path):
+    import subprocess, sys
+    out = tmp_path / "SYN_Test-1.xml"
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "tools/make_scenario.py", "--out", str(out),
+         "--length", "100", "--curvature", "0.001", "--obstacle", "0.5",
+         "--v0", "15"],
+        capture_output=True, text=True, timeout=120, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr
+    s = load_scenario(str(out))
+    assert set(s.lanelets) == {1000, 1001}
+    assert len(s.obstacles) == 1
+    pp = s.planning_problems[0]
+    assert pp.goal.position_center is not None
+    # the generated scenario is plannable end-to-end
+    r = plan_route(s, pp.initial_position, pp.goal.position_center,
+                   pp.goal.position_lanelets)
+    assert r.lanelet_ids[0] in (1000, 1001)

@@ -57,6 +57,12 @@ class PlanningConfig:
     # optional solver-side road-boundary constraints (the reference ships
     # this constraint set commented out, optimizer.py:113-161)
     boundary_constraints: bool = False
+    # optional moving-obstacle tracking: (T_traj, 3) rows [x, y, psi] per
+    # scenario time step.  The reference treats even dynamic obstacles as
+    # frozen at their initial state (configuration.py:472-476); enabling
+    # ``track_dynamic_obstacle: true`` in the YAML uses the recorded
+    # trajectory instead (capability beyond the reference)
+    obstacle_trajectory: Optional[np.ndarray] = None
 
     def __post_init__(self):
         if self.framework not in ("casadi", "forcespro"):
@@ -171,6 +177,7 @@ def build_config(settings: Dict, scenario: Scenario,
     vehicle = get_vehicle(vehicle_settings["vehicle_model"])
 
     # --- obstacle dict (configuration.py:471-483) ---
+    obstacle_trajectory = None
     if use_case == "collision_avoidance":
         obs = scenario.obstacles[0]
         static_obstacle = {
@@ -180,6 +187,11 @@ def build_config(settings: Dict, scenario: Scenario,
             "width": float(obs.shape.width),
             "orientation": float(obs.initial_state.orientation),
         }
+        if gps.get("track_dynamic_obstacle", False) and obs.trajectory:
+            states = [obs.initial_state] + list(obs.trajectory)
+            obstacle_trajectory = np.asarray(
+                [[s.position[0], s.position[1], s.orientation]
+                 for s in states], dtype=float)
     else:
         static_obstacle = {"position_x": -100.0, "position_y": 0.0,
                            "length": 0.0, "width": 0.0, "orientation": 0.0}
@@ -216,6 +228,7 @@ def build_config(settings: Dict, scenario: Scenario,
         right_road_boundary=right_b,
         boundary_constraints=bool(
             gps.get("boundary_constraints", False)),
+        obstacle_trajectory=obstacle_trajectory,
     )
 
 

@@ -134,7 +134,9 @@ class OcpParams(NamedTuple):
     x_ref: (H+1, NX) reference rows; row k is the tracking target for state
            X_k (callers encode the reference's one-step-ahead indexing,
            ``optimizer.py:299-302, 509``)
-    obs_centers: (3, 2) obstacle circle centers
+    obs_centers: (3, 2) static obstacle circle centers, or (H+1, 3, 2) for a
+           MOVING obstacle (per-stage predicted centers — capability beyond
+           the reference, which ignores dynamic obstacles entirely)
     min_dist: () r_ego + r_obs
     weights: cost weights pytree
     """
@@ -217,15 +219,22 @@ def _stage_rows(cfg: SolverConfig, x, u, obs: C.ObstacleParams,
     return (jnp.concatenate(hs), jnp.concatenate(los), jnp.concatenate(his))
 
 
+def _stage_obs(params: OcpParams, k):
+    """Obstacle circle centers for predicted stage k ((3, 2))."""
+    if params.obs_centers.ndim == 3:  # moving obstacle: per-stage centers
+        return C.ObstacleParams(centers=params.obs_centers[k],
+                                min_dist=params.min_dist)
+    return C.ObstacleParams(centers=params.obs_centers,
+                            min_dist=params.min_dist)
+
+
 def _all_rows(cfg: SolverConfig, X, U, params: OcpParams):
     """Constraint rows for all H+1 stages: h, lo, hi each (H+1, NROWS)."""
-    obs = C.ObstacleParams(centers=params.obs_centers,
-                           min_dist=params.min_dist)
     U_ext = jnp.concatenate([U, U[-1:]], axis=0)  # stage H reuses U[H-1]
     idx = jnp.arange(cfg.horizon + 1)
     return jax.vmap(lambda x, u, k: _stage_rows(
-        cfg, x, u, obs, k, params.boundaries, params.boundary_signs))(
-        X, U_ext, idx)
+        cfg, x, u, _stage_obs(params, k), k, params.boundaries,
+        params.boundary_signs))(X, U_ext, idx)
 
 
 def _al_terms(h, lo, hi, lam_lo, lam_hi, mu):
@@ -309,13 +318,11 @@ def _build_quadratic(cfg: SolverConfig, X, U, params: OcpParams,
     """Stagewise AL-Gauss-Newton quadratic model around (X, U)."""
     w = params.weights
     dtype = X.dtype
-    obs = C.ObstacleParams(centers=params.obs_centers,
-                           min_dist=params.min_dist)
 
     def rows_z(z, k):
         x, u = z[:NX], z[NX:]
-        hh, _, _ = _stage_rows(cfg, x, u, obs, k, params.boundaries,
-                               params.boundary_signs)
+        hh, _, _ = _stage_rows(cfg, x, u, _stage_obs(params, k), k,
+                               params.boundaries, params.boundary_signs)
         return hh
 
     idx = jnp.arange(cfg.horizon + 1)
@@ -424,8 +431,6 @@ def _solve_ip(cfg: SolverConfig, params: OcpParams,
 
     w = params.weights
     dtype = params.x0.dtype
-    obs = C.ObstacleParams(centers=params.obs_centers,
-                           min_dist=params.min_dist)
     step = _step_fn(cfg)
     H = cfg.horizon
 
@@ -434,8 +439,8 @@ def _solve_ip(cfg: SolverConfig, params: OcpParams,
 
     def rows_z(z, k):
         x, u = z[:NX], z[NX:]
-        hh, _, _ = _stage_rows(cfg, x, u, obs, k, params.boundaries,
-                               params.boundary_signs)
+        hh, _, _ = _stage_rows(cfg, x, u, _stage_obs(params, k), k,
+                               params.boundaries, params.boundary_signs)
         return hh
 
     idx = jnp.arange(H + 1)

@@ -61,6 +61,8 @@ class LoopParams(NamedTuple):
     noise_key: jax.Array       # PRNG key
     boundaries: jax.Array | None = None  # (2, NB, 2) when boundary_rows
     boundary_signs: jax.Array | None = None  # (2,) +-1: positive = inside
+    obs_track: jax.Array | None = None  # (T+H+1, 3, 2) per-step obstacle
+                                        # circle centers (moving obstacle)
 
 
 class LoopResult(NamedTuple):
@@ -114,6 +116,14 @@ def make_loop_config(cfg: PlanningConfig,
         bounds=C.make_box_bounds(p, mode),
         use_terminal_cost=use_term,
         **solver_overrides)
+    if mode == "casadi" and H >= cfg.iter_length:
+        import warnings
+        warnings.warn(
+            f"casadi-parity mode with horizon {H} >= iter_length "
+            f"{cfg.iter_length}: the reference's frozen end-of-path window "
+            "(optimizer.py:670-683) pins the reference at the path start, "
+            "degenerating tracking. Use a shorter horizon or the forcespro "
+            "mode for long-horizon runs.", stacklevel=2)
     want_noise = cfg.noised if noised is None else noised
     if want_noise:
         std = 0.1 if cfg.use_case == "lane_following" else 0.05
@@ -178,6 +188,19 @@ def make_loop_params(cfg: PlanningConfig, lcfg: LoopConfig,
         boundaries, boundary_signs = _prepare_boundaries(cfg, dtype)
     else:
         boundaries, boundary_signs = None, None
+    obs_track = None
+    if cfg.obstacle_trajectory is not None:
+        traj = np.asarray(cfg.obstacle_trajectory, dtype=float)
+        need = lcfg.n_steps + lcfg.solver.horizon + 2
+        if len(traj) < need:
+            traj = np.concatenate(
+                [traj, np.repeat(traj[-1:], need - len(traj), axis=0)])
+        obs_track = jnp.asarray(np.stack([
+            np.asarray(jax.device_get(C.circle_centers(
+                jnp.asarray(t[0]), jnp.asarray(t[1]),
+                cfg.static_obstacle["length"], cfg.static_obstacle["width"],
+                jnp.asarray(t[2]))))
+            for t in traj[:need]]), dtype)
     return LoopParams(
         x_init=x_init,
         track=track,
@@ -187,6 +210,7 @@ def make_loop_params(cfg: PlanningConfig, lcfg: LoopConfig,
         noise_key=jax.random.PRNGKey(seed),
         boundaries=boundaries,
         boundary_signs=boundary_signs,
+        obs_track=obs_track,
     )
 
 
@@ -221,8 +245,14 @@ def run_closed_loop(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
         x, sqp_state, key = carry
         x_ref = ref_mod.window(params.track, step_idx, scfg.horizon,
                                lcfg.mode, x0=x)
+        if params.obs_track is not None:
+            obs_c = jax.lax.dynamic_slice(
+                params.obs_track, (step_idx, 0, 0),
+                (scfg.horizon + 1, 3, 2))
+        else:
+            obs_c = params.obs_centers
         ocp = sqp.OcpParams(x0=x, x_ref=x_ref,
-                            obs_centers=params.obs_centers,
+                            obs_centers=obs_c,
                             min_dist=params.min_dist,
                             weights=params.weights,
                             boundaries=params.boundaries,
@@ -279,8 +309,14 @@ def closed_loop_chunk(lcfg: LoopConfig, params: LoopParams, carry,
         step_idx, x, sqp_state, key = c
         x_ref = ref_mod.window(params.track, step_idx, scfg.horizon,
                                lcfg.mode, x0=x)
+        if params.obs_track is not None:
+            obs_c = jax.lax.dynamic_slice(
+                params.obs_track, (step_idx, 0, 0),
+                (scfg.horizon + 1, 3, 2))
+        else:
+            obs_c = params.obs_centers
         ocp = sqp.OcpParams(x0=x, x_ref=x_ref,
-                            obs_centers=params.obs_centers,
+                            obs_centers=obs_c,
                             min_dist=params.min_dist,
                             weights=params.weights,
                             boundaries=params.boundaries,

@@ -45,7 +45,14 @@ def main(argv=None) -> int:
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    config = load_config(args.config, args.scenario_dir)
+    try:
+        config = load_config(args.config, args.scenario_dir)
+    except FileNotFoundError as e:
+        print(f"error: {e.filename or e}: no such file", file=sys.stderr)
+        return 1
+    except (KeyError, ValueError) as e:
+        print(f"error: invalid configuration: {e}", file=sys.stderr)
+        return 1
     planner = MPCPlanner(config, horizon=args.horizon,
                          noised=False if args.deterministic else None,
                          seed=args.seed)

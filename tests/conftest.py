@@ -1,17 +1,43 @@
 """Test configuration: run the suite on a virtual 8-device CPU mesh.
 
 Multi-chip TPU hardware is not available in CI; sharding tests run against
-``xla_force_host_platform_device_count=8`` per the multi-host test strategy
-(SURVEY.md §4d).  Must be set before JAX initializes.
+an 8-device virtual CPU backend per the multi-host test strategy
+(SURVEY.md §4d).  Numeric-tolerance tests also assume CPU float32 — TPU
+matmul precision would blow their comparison bands.
+
+The environment may boot the axon TPU PJRT backend at interpreter start
+(sitecustomize hook), before any conftest runs — in that case the env-var
+route (JAX_PLATFORMS / XLA_FLAGS) is too late, so we forcibly re-point an
+already-initialized JAX at a fresh 8-device CPU backend below.
 """
 import os
 
-# Force-override: the environment pins JAX_PLATFORMS=axon (single real TPU);
-# the test suite must run on the virtual CPU mesh regardless.  (The axon
-# sitecustomize hook may still have claimed the chip at interpreter start —
-# run pytest with PALLAS_AXON_POOL_IPS= to skip that ~3 min boot cost.)
+# Env-var route: effective when JAX has not initialized yet, and inherited
+# by any subprocesses tests spawn.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+
+def _force_cpu_mesh():
+    import jax
+
+    if jax.config.jax_platforms == "cpu" and jax.device_count() == 8:
+        return
+    # Already initialized on another backend (or with 1 CPU device):
+    # re-point at a fresh 8-device CPU client.  Internals are
+    # version-sensitive (validated on jax 0.9); fail loudly if they move.
+    jax.config.update("jax_platforms", "cpu")
+    import jax._src.xla_bridge as xb
+    xb.get_backend.cache_clear()
+    xb._clear_backends()
+    jax.config.update("jax_num_cpu_devices", 8)
+    assert jax.default_backend() == "cpu" and jax.device_count() == 8, (
+        "failed to re-point JAX at an 8-device CPU backend; "
+        "run pytest with PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu "
+        "XLA_FLAGS=--xla_force_host_platform_device_count=8")
+
+
+_force_cpu_mesh()

@@ -150,11 +150,21 @@ def test_boundary_constraints_keep_vehicle_on_road():
 ])
 def test_deterministic_regression_goldens(config_name, tag):
     """Our own committed deterministic goldens: catches behavior drift that
-    the (noisy) reference-golden tolerance bands would miss."""
+    the (noisy) reference-golden tolerance bands would miss.
+
+    Run in float64 (goldens recorded by ``tools/make_goldens.py``): the CA
+    loop amplifies rounding noise ~1e6x over 30 steps, so float32 goldens
+    would be machine-specific; float64 keeps cross-platform drift ~1e-9,
+    letting the tolerance sit far below any formulation change."""
+    import jax
+    import jax.numpy as jnp
+
     here = os.path.dirname(os.path.abspath(__file__))
     golden = np.loadtxt(os.path.join(here, "goldens", f"{tag}_states.txt"))
-    c, res = _run(config_name)
-    X = np.asarray(res.X)
-    # loose enough for cross-platform float32 divergence, tight enough to
-    # catch formulation changes
-    np.testing.assert_allclose(X, golden, atol=0.05)
+    with jax.enable_x64(True):
+        c = load_config(os.path.join(CFG, config_name), SCN)
+        lcfg = cl.make_loop_config(c, noised=False)
+        params = cl.make_loop_params(c, lcfg, dtype=jnp.float64)
+        res = cl.closed_loop_jit(lcfg, params)
+        X = np.asarray(res.X)
+    np.testing.assert_allclose(X, golden, atol=1e-4)

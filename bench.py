@@ -55,7 +55,9 @@ def run_bench(batch: int = 1024, horizon: int = 30, n_steps: int = 10,
 def main():
     n_dev = len(jax.devices())
     platform = jax.devices()[0].platform
-    batch = 1024 if platform != "cpu" else 128
+    # batch-size sweep on v5e (PROGRESS notes): 1024 -> 18.1k, 2048 -> 18.6k,
+    # 4096 -> 17.2k solves/s; 2048 saturates the chip
+    batch = 2048 if platform != "cpu" else 128
     solves_per_s, step_latency, ok, total = run_bench(batch=batch)
     per_chip = solves_per_s / n_dev
     result = {

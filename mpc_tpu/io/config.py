@@ -63,8 +63,17 @@ class PlanningConfig:
     # ``track_dynamic_obstacle: true`` in the YAML uses the recorded
     # trajectory instead (capability beyond the reference)
     obstacle_trajectory: Optional[np.ndarray] = None
+    # dynamics family for the solver + plant: 'ks' (5-state kinematic
+    # single-track — the only model the reference planner invokes,
+    # optimizer.py:98, 536) or 'st' (7-state single-track with tire
+    # dynamics — defined by the reference at configuration.py:370-398 but
+    # never wired; first-class here via YAML ``dynamics_model: st``)
+    dynamics_model: str = "ks"
 
     def __post_init__(self):
+        if self.dynamics_model not in ("ks", "st"):
+            raise ValueError(
+                f"dynamics_model must be ks|st, got {self.dynamics_model!r}")
         if self.framework not in ("casadi", "forcespro"):
             raise ValueError(
                 f"framework must be casadi|forcespro, got {self.framework!r}")
@@ -229,6 +238,7 @@ def build_config(settings: Dict, scenario: Scenario,
         boundary_constraints=bool(
             gps.get("boundary_constraints", False)),
         obstacle_trajectory=obstacle_trajectory,
+        dynamics_model=str(gps.get("dynamics_model", "ks")),
     )
 
 

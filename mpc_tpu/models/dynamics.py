@@ -16,8 +16,18 @@ import jax.numpy as jnp
 
 from mpc_tpu.models.vehicle import VehicleParams
 
-NX = 5  # number of states
-NU = 2  # number of inputs
+NX = 5     # KS state count
+NX_ST = 7  # ST state count (adds [psiDot, beta])
+NU = 2     # number of inputs (shared by both models)
+
+
+def nx_of(model: str) -> int:
+    """State dimension of a dynamics model ('ks' -> 5, 'st' -> 7)."""
+    if model == "ks":
+        return NX
+    if model == "st":
+        return NX_ST
+    raise ValueError(f"unknown dynamics model '{model}' (want 'ks'|'st')")
 
 
 def ks_ode(x: jax.Array, u: jax.Array, wheelbase: float) -> jax.Array:
@@ -118,6 +128,19 @@ def st_ode(x: jax.Array, u: jax.Array, p: VehicleParams) -> jax.Array:
     return jnp.where(low_speed, f_low, f_high)
 
 
+def ks_to_st_state(x: jax.Array, wheelbase: float, lr: float) -> jax.Array:
+    """Lift a 5-state KS state to the 7-state ST state kinematically.
+
+    psiDot = v tan(delta) / l and beta = arctan(tan(delta) l_r / l) — the
+    same consistency relations the reference's ST low-speed branch assumes
+    (``configuration.py:379-385``).
+    """
+    delta, v = x[..., 2], x[..., 3]
+    psi_dot = v * jnp.tan(delta) / wheelbase
+    beta = jnp.arctan(jnp.tan(delta) * lr / wheelbase)
+    return jnp.concatenate([x, jnp.stack([psi_dot, beta], axis=-1)], axis=-1)
+
+
 def euler_step(x: jax.Array, u: jax.Array, dt: float,
                wheelbase: float) -> jax.Array:
     """Forward-Euler discretization of the KS model.
@@ -142,15 +165,36 @@ def rk4_step(x: jax.Array, u: jax.Array, dt: float,
     return x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
 
 
-def make_step_fn(integrator: str, dt: float, wheelbase: float):
+def make_step_fn(integrator: str, dt: float, wheelbase: float,
+                 model: str = "ks", vehicle=None):
     """Return a discrete-time step function ``x_next = F(x, u)``.
 
     integrator: 'rk4' (FORCESPRO parity) or 'euler' (CasADi parity).
+    model: 'ks' (5-state kinematic single-track — the only model either
+    reference solver ever invokes, ``optimizer.py:98, 536``) or 'st'
+    (7-state single-track with tire dynamics — the reference defines
+    ``ST_casadi`` at ``configuration.py:370-398`` but never wires it to a
+    planner; here it is a first-class model family).  'st' requires
+    ``vehicle`` (a ``VehicleParams``).
     """
+    if model == "ks":
+        ode = lambda x, u: ks_ode(x, u, wheelbase)  # noqa: E731
+    elif model == "st":
+        if vehicle is None:
+            raise ValueError("model='st' requires vehicle=VehicleParams")
+        ode = lambda x, u: st_ode(x, u, vehicle)  # noqa: E731
+    else:
+        raise ValueError(f"unknown dynamics model '{model}' (want 'ks'|'st')")
     if integrator == "rk4":
-        return lambda x, u: rk4_step(x, u, dt, wheelbase)
+        def step(x, u):
+            k1 = ode(x, u)
+            k2 = ode(x + 0.5 * dt * k1, u)
+            k3 = ode(x + 0.5 * dt * k2, u)
+            k4 = ode(x + dt * k3, u)
+            return x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        return step
     if integrator == "euler":
-        return lambda x, u: euler_step(x, u, dt, wheelbase)
+        return lambda x, u: x + dt * ode(x, u)
     raise ValueError(f"unknown integrator '{integrator}' (want 'rk4'|'euler')")
 
 

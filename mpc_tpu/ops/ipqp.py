@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from mpc_tpu.ops import riccati
 
-NX = 5
+NX = 5  # KS default; every kernel below derives the actual NX/NU from QpData
 NU = 2
 
 
@@ -80,8 +80,8 @@ def _rows_value(qp: QpData, dX, dU):
 
 
 def init_ip(qp: QpData, mu0: float = 1.0, s_min: float = 1e-2) -> IpState:
-    dX = jnp.zeros((qp.A.shape[0] + 1, NX), qp.A.dtype)
-    dU = jnp.zeros((qp.A.shape[0], NU), qp.A.dtype)
+    dX = jnp.zeros((qp.A.shape[0] + 1, qp.Q.shape[-1]), qp.A.dtype)
+    dU = jnp.zeros((qp.A.shape[0], qp.R.shape[-1]), qp.A.dtype)
     c = qp.h0
     m_lo = jnp.isfinite(qp.lo)
     m_hi = jnp.isfinite(qp.hi)
@@ -106,6 +106,7 @@ def _cost_grad(qp: QpData, dX, dU):
 def ip_iteration(qp: QpData, st: IpState, reg: float,
                  sigma: float = 0.2, tau: float = 0.995) -> IpState:
     """One primal-dual Newton step on the QP (fixed-shape)."""
+    NX = qp.Q.shape[-1]  # 5 (KS) or 7 (ST); shadows the module default
     m_lo = jnp.isfinite(qp.lo)
     m_hi = jnp.isfinite(qp.hi)
     c = _rows_value(qp, st.dX, st.dU)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from mpc_tpu.ops.riccati import LinDyn, RiccatiGains, StageQuad
 
-NX = 5
+NX = 5  # KS default; both kernels derive the actual NX from their inputs
 NU = 2
 
 
@@ -71,8 +71,11 @@ def backward_pass_vec(quad: StageQuad, QH: jax.Array, qH: jax.Array,
     """Batched backward sweep; inputs have leading (B, H, ...) axes.
 
     Returns gains with leading lane axis (same contract as vmapped
-    ``riccati.backward_pass``); dV1/dV2 are (B,).
+    ``riccati.backward_pass``); dV1/dV2 are (B,).  NX is derived from the
+    inputs (5 for KS, 7 for ST); NU must be 2 (closed-form Quu inverse).
     """
+    NX = quad.Q.shape[-1]
+    assert quad.R.shape[-1] == NU, "backward_pass_vec assumes NU == 2"
     Qr = _to_rows(quad.Q, NX * NX)
     Rr = _to_rows(quad.R, NU * NU)
     Mr = _to_rows(quad.M, NX * NU)
@@ -147,34 +150,96 @@ def backward_pass_vec(quad: StageQuad, QH: jax.Array, qH: jax.Array,
                         dV2=jnp.sum(dv2, axis=0))
 
 
+def _ode_rows(model: str, wheelbase: float, vehicle=None):
+    """Rows-form ODE: x is an NX-list of same-shape arrays, u an NU-list.
+
+    Mirrors ``models.dynamics.ks_ode`` / ``st_ode`` entrywise so the
+    lanes-trailing rollout never materializes (…, NX) state vectors.
+    """
+    if model == "ks":
+        def ode(x, u):
+            v, delta, psi = x[3], x[2], x[4]
+            return [v * jnp.cos(psi), v * jnp.sin(psi), u[0], u[1],
+                    v / wheelbase * jnp.tan(delta)]
+        return ode
+    if model != "st":
+        raise ValueError(f"unknown model '{model}'")
+    if vehicle is None:
+        raise ValueError("model='st' requires vehicle")
+    g = 9.81
+    mu = vehicle.tire.p_dy1
+    C_Sf = -vehicle.tire.p_ky1 / vehicle.tire.p_dy1
+    C_Sr = C_Sf
+    lf, lr = vehicle.a, vehicle.b
+    l = lf + lr
+    h, m, I = vehicle.h_s, vehicle.m, vehicle.I_z
+
+    def ode(x, u):
+        delta, v, psi, psi_dot, beta = x[2], x[3], x[4], x[5], x[6]
+        u0, u1 = u[0], u[1]
+        beta_kin = jnp.arctan(jnp.tan(delta) * lr / l)
+        v_safe = jnp.where(jnp.abs(v) < 1e-3, 1e-3, v)
+        f_low_psi = v * jnp.cos(beta_kin) * jnp.tan(delta) / l
+        d_beta = (lr * u0) / (l * jnp.cos(delta) ** 2
+                              * (1.0 + (jnp.tan(delta) ** 2 * lr / l) ** 2))
+        dd_psi = (1.0 / l) * (
+            u1 * jnp.cos(beta) * jnp.tan(delta)
+            - v * jnp.sin(beta) * d_beta * jnp.tan(delta)
+            + v * jnp.cos(beta) * u0 / jnp.cos(delta) ** 2)
+        f_low = [v * jnp.cos(beta_kin + psi), v * jnp.sin(beta_kin + psi),
+                 u0, u1, f_low_psi, dd_psi, d_beta]
+        f_high = [
+            v * jnp.cos(beta + psi),
+            v * jnp.sin(beta + psi),
+            u0, u1,
+            psi_dot,
+            -mu * m / (v_safe * I * (lr + lf))
+            * (lf ** 2 * C_Sf * (g * lr - u1 * h)
+               + lr ** 2 * C_Sr * (g * lf + u1 * h)) * psi_dot
+            + mu * m / (I * (lr + lf))
+            * (lr * C_Sr * (g * lf + u1 * h)
+               - lf * C_Sf * (g * lr - u1 * h)) * beta
+            + mu * m / (I * (lr + lf)) * lf * C_Sf
+            * (g * lr - u1 * h) * delta,
+            (mu / (v_safe ** 2 * (lr + lf))
+             * (C_Sr * (g * lf + u1 * h) * lr
+                - C_Sf * (g * lr - u1 * h) * lf) - 1.0) * psi_dot
+            - mu / (v_safe * (lr + lf))
+            * (C_Sr * (g * lf + u1 * h) + C_Sf * (g * lr - u1 * h)) * beta
+            + mu / (v_safe * (lr + lf))
+            * (C_Sf * (g * lr - u1 * h)) * delta,
+        ]
+        low = jnp.abs(v) < 0.1
+        return [jnp.where(low, flo, fhi) for flo, fhi in zip(f_low, f_high)]
+    return ode
+
+
 def feedback_rollout_vec(step_ode, dt: float, wheelbase: float,
                          x0: jax.Array, X_bar: jax.Array, U_bar: jax.Array,
                          K: jax.Array, d: jax.Array,
                          alphas: Sequence[float],
                          u_lo: jax.Array, u_hi: jax.Array,
-                         integrator: str):
+                         integrator: str, model: str = "ks", vehicle=None):
     """Box-clamped iLQR forward pass for ALL alphas in lanes-trailing form.
 
     x0: (B, NX); X_bar: (B, H+1, NX); U_bar: (B, H, NU); K: (B, H, NU, NX);
     d: (B, H, NU).  Returns Xa: (A, B, H+1, NX), Ua: (A, B, H, NU).
+    NX is derived from x0 (5 for KS, 7 for ST).
     """
     A = len(alphas)
     B_lanes = x0.shape[0]
+    NX = x0.shape[-1]
     dtype = x0.dtype
     al = jnp.asarray(alphas, dtype)[:, None]  # (A, 1)
 
-    Xb = _to_rows(X_bar[:, :-1], NX)   # (H, 5, B)
+    Xb = _to_rows(X_bar[:, :-1], NX)   # (H, NX, B)
     Ub = _to_rows(U_bar, NU)
     Kr = _to_rows(K, NU * NX)
     dr = _to_rows(d, NU)
 
     x_init = jnp.broadcast_to(jnp.moveaxis(x0, 0, -1)[None], (A, NX, B_lanes))
 
-    def ode(x, u):
-        # x: list of 5 (A, B) rows; u: list of 2
-        v, delta, psi = x[3], x[2], x[4]
-        return [v * jnp.cos(psi), v * jnp.sin(psi), u[0], u[1],
-                v / wheelbase * jnp.tan(delta)]
+    ode = _ode_rows(model, wheelbase, vehicle)
 
     def add(x, s, k):
         return [x[i] + s * k[i] for i in range(NX)]

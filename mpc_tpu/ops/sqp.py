@@ -58,6 +58,16 @@ class SolverConfig:
     dt: float = 0.1
     wheelbase: float = 2.578
     integrator: str = "rk4"          # 'rk4' (forcespro) | 'euler' (casadi)
+    model: str = "ks"                # dynamics family: 'ks' (5-state
+                                     # kinematic single-track; the only model
+                                     # the reference planner invokes,
+                                     # optimizer.py:98, 536) | 'st' (7-state
+                                     # single-track with tire dynamics; the
+                                     # reference defines it at
+                                     # configuration.py:370-398 but never
+                                     # wires it — here a first-class family)
+    vehicle: object = None           # VehicleParams (frozen dataclass,
+                                     # hashable); required for model='st'
     formulation: str = "forcespro"   # constraint algebra variant
     ego_length: float = 4.508
     ego_width: float = 1.610
@@ -95,7 +105,14 @@ class SolverConfig:
                                      # 'ip' (RTI-SQP over the interior-point
                                      # stagewise QP, ops.ipqp — hard
                                      # linearized constraints per step)
-    ip_sqp_iters: int = 3            # SQP linearizations per solve (ip mode)
+    ip_sqp_iters: int = 5            # SQP linearizations per solve (ip mode).
+                                     # 5, not 3: under actuation noise the
+                                     # head-on-obstacle overtake needs the
+                                     # extra re-linearizations to keep
+                                     # committing to the avoidance side — at
+                                     # 3, noise kicks can collapse the RTI
+                                     # iterate back into the blocked lane
+                                     # (seed-swept in tests/test_robustness)
     ip_iters: int = 10               # IP Newton steps per QP (ip mode)
 
     def __post_init__(self):
@@ -103,6 +120,10 @@ class SolverConfig:
             raise ValueError(f"horizon must be >= 1, got {self.horizon}")
         if self.integrator not in ("rk4", "euler"):
             raise ValueError(f"unknown integrator '{self.integrator}'")
+        if self.model not in ("ks", "st"):
+            raise ValueError(f"unknown model '{self.model}' (ks|st)")
+        if self.model == "st" and self.vehicle is None:
+            raise ValueError("model='st' requires vehicle=VehicleParams")
         if self.formulation not in ("forcespro", "casadi"):
             raise ValueError(f"unknown formulation '{self.formulation}'")
         if self.lqr_backend not in ("scan", "pscan"):
@@ -168,7 +189,49 @@ class Solution(NamedTuple):
 
 
 def _step_fn(cfg: SolverConfig):
-    return dyn_mod.make_step_fn(cfg.integrator, cfg.dt, cfg.wheelbase)
+    return dyn_mod.make_step_fn(cfg.integrator, cfg.dt, cfg.wheelbase,
+                                cfg.model, cfg.vehicle)
+
+
+def solver_nx(cfg: SolverConfig) -> int:
+    """State dimension of the configured dynamics model."""
+    return dyn_mod.nx_of(cfg.model)
+
+
+def normalize_params(cfg: SolverConfig, params: OcpParams) -> OcpParams:
+    """Widen 5-column KS-schema params to the configured model's NX.
+
+    Lets every caller keep the reference's 5-state OCP schema (x_ref rows
+    ``[px, py, 0, v_des, psi_des]``, ``optimizer.py:299-302``) for the ST
+    model too: extra state columns (psiDot, beta) get zero reference and
+    zero weight, and a short x0 is completed kinematically
+    (psiDot = v tan(delta)/l, beta = arctan(tan(delta) l_r/l) — the same
+    consistency relations the reference's ST low-speed branch uses,
+    ``configuration.py:379-385``).
+    """
+    nxv = solver_nx(cfg)
+    have = params.x_ref.shape[-1]
+    if have == nxv:
+        return params
+    if have != dyn_mod.NX:
+        raise ValueError(
+            f"x_ref has {have} state columns; want {dyn_mod.NX} or {nxv}")
+    pad = nxv - have
+    dtype = params.x_ref.dtype
+    x_ref = jnp.concatenate(
+        [params.x_ref,
+         jnp.zeros(params.x_ref.shape[:-1] + (pad,), dtype)], axis=-1)
+    w = params.weights
+    zeros = jnp.zeros(w.q.shape[:-1] + (pad,), w.q.dtype)
+    weights = cost_mod.Weights(q=jnp.concatenate([w.q, zeros], axis=-1),
+                               r=w.r,
+                               qN=jnp.concatenate([w.qN, zeros], axis=-1))
+    x0 = params.x0
+    if x0.shape[-1] == have:
+        veh = cfg.vehicle
+        lr = veh.b if veh is not None else 0.5 * cfg.wheelbase
+        x0 = dyn_mod.ks_to_st_state(x0, cfg.wheelbase, lr)
+    return params._replace(x0=x0, x_ref=x_ref, weights=weights)
 
 
 def _stage_rows(cfg: SolverConfig, x, u, obs: C.ObstacleParams,
@@ -318,9 +381,10 @@ def _build_quadratic(cfg: SolverConfig, X, U, params: OcpParams,
     """Stagewise AL-Gauss-Newton quadratic model around (X, U)."""
     w = params.weights
     dtype = X.dtype
+    nxv = X.shape[-1]
 
     def rows_z(z, k):
-        x, u = z[:NX], z[NX:]
+        x, u = z[:nxv], z[nxv:]
         hh, _, _ = _stage_rows(cfg, x, u, _stage_obs(params, k), k,
                                params.boundaries, params.boundary_signs)
         return hh
@@ -344,20 +408,20 @@ def _build_quadratic(cfg: SolverConfig, X, U, params: OcpParams,
     Q_cost = 2.0 * jnp.diag(w.q).astype(dtype)
     R_cost = 2.0 * jnp.diag(w.r).astype(dtype)
 
-    Qs = Q_cost[None] + H_con[:-1, :NX, :NX]
-    Rs = R_cost[None] + H_con[:-1, NX:, NX:]
-    Ms = H_con[:-1, :NX, NX:]
-    qx = g_cost_x[:-1] + g_con[:-1, :NX]
-    qu = g_cost_u + g_con[:-1, NX:]
+    Qs = Q_cost[None] + H_con[:-1, :nxv, :nxv]
+    Rs = R_cost[None] + H_con[:-1, nxv:, nxv:]
+    Ms = H_con[:-1, :nxv, nxv:]
+    qx = g_cost_x[:-1] + g_con[:-1, :nxv]
+    qu = g_cost_u + g_con[:-1, nxv:]
 
     if cfg.use_terminal_cost:
         QH_cost = 2.0 * jnp.diag(w.qN).astype(dtype)
         gH_cost = 2.0 * w.qN * dx[-1]
     else:
-        QH_cost = jnp.zeros((NX, NX), dtype)
-        gH_cost = jnp.zeros((NX,), dtype)
-    QH = QH_cost + H_con[-1, :NX, :NX]
-    qH = gH_cost + g_con[-1, :NX]
+        QH_cost = jnp.zeros((nxv, nxv), dtype)
+        gH_cost = jnp.zeros((nxv,), dtype)
+    QH = QH_cost + H_con[-1, :nxv, :nxv]
+    qH = gH_cost + g_con[-1, :nxv]
 
     quad = riccati.StageQuad(Q=Qs, R=Rs, M=Ms, qx=qx, qu=qu)
     return quad, QH, qH
@@ -429,16 +493,18 @@ def _solve_ip(cfg: SolverConfig, params: OcpParams,
     """
     from mpc_tpu.ops import ipqp
 
+    params = normalize_params(cfg, params)
     w = params.weights
     dtype = params.x0.dtype
     step = _step_fn(cfg)
     H = cfg.horizon
+    nxv = solver_nx(cfg)
 
     X = _rollout(cfg, params.x0, state.U)
     U = state.U
 
     def rows_z(z, k):
-        x, u = z[:NX], z[NX:]
+        x, u = z[:nxv], z[nxv:]
         hh, _, _ = _stage_rows(cfg, x, u, _stage_obs(params, k), k,
                                params.boundaries, params.boundary_signs)
         return hh
@@ -458,18 +524,18 @@ def _solve_ip(cfg: SolverConfig, params: OcpParams,
 
         dx = X - params.x_ref
         Q_cost = jnp.broadcast_to(2.0 * jnp.diag(w.q).astype(dtype),
-                                  (H, NX, NX))
+                                  (H, nxv, nxv))
         R_cost = jnp.broadcast_to(2.0 * jnp.diag(w.r).astype(dtype),
                                   (H, NU, NU))
-        M_cost = jnp.zeros((H, NX, NU), dtype)
+        M_cost = jnp.zeros((H, nxv, NU), dtype)
         qx = 2.0 * w.q * dx[:-1]
         qu = 2.0 * w.r * U
         if cfg.use_terminal_cost:
             QH = 2.0 * jnp.diag(w.qN).astype(dtype)
             qH = 2.0 * w.qN * dx[-1]
         else:
-            QH = jnp.zeros((NX, NX), dtype)
-            qH = jnp.zeros((NX,), dtype)
+            QH = jnp.zeros((nxv, nxv), dtype)
+            qH = jnp.zeros((nxv,), dtype)
 
         qp = ipqp.QpData(Q=Q_cost, R=R_cost, M=M_cost, qx=qx, qu=qu,
                          QH=QH, qH=qH, A=A, B=B, r=defect,
@@ -536,6 +602,7 @@ def solve(cfg: SolverConfig, params: OcpParams, state: SqpState) -> Solution:
     """
     if cfg.method == "ip":
         return _solve_ip(cfg, params, state)
+    params = normalize_params(cfg, params)
     X0 = _rollout(cfg, params.x0, state.U)
 
     def outer(carry, _):

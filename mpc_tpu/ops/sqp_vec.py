@@ -30,7 +30,7 @@ def _gn_iteration_vec(cfg: S.SolverConfig, params: S.OcpParams,
     u_lo, u_hi, _, _ = cfg.bounds.as_arrays(X.dtype)
     Xa, Ua = riccati_vec.feedback_rollout_vec(
         None, cfg.dt, cfg.wheelbase, params.x0, X, U, gains.K, gains.d,
-        cfg.alphas, u_lo, u_hi, cfg.integrator)
+        cfg.alphas, u_lo, u_hi, cfg.integrator, cfg.model, cfg.vehicle)
 
     merit_fn = jax.vmap(jax.vmap(
         lambda X1, U1, p1, ll, lh, m1: S._merit(cfg, X1, U1, p1, ll, lh, m1),
@@ -64,6 +64,7 @@ def solve_batch_vec(cfg: S.SolverConfig, params: S.OcpParams,
     if cfg.method != "al":
         return S.solve_batch(cfg, params, state)
 
+    params = S.normalize_params(cfg, params)
     rollout = jax.vmap(lambda p, U1: S._rollout(cfg, p.x0, U1))
     X0 = rollout(params, state.U)
 

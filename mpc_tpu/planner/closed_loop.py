@@ -48,6 +48,13 @@ class LoopConfig:
     cold_start_solves: int = 0  # extra warm-up solves of the step-0 problem
                                 # before the loop (deep-horizon cold starts
                                 # can otherwise land in poor local basins)
+    warmup_obstacle_free: bool = True  # first cold-start solve ignores the
+                                # obstacle rows: the iterate first locks onto
+                                # the (already-avoiding) reference line
+                                # instead of fighting the obstacle from a
+                                # straight-line init — kills the wrong-side
+                                # local basins on deep horizons.  Only active
+                                # when cold_start_solves > 0.
 
 
 class LoopParams(NamedTuple):
@@ -104,6 +111,12 @@ def make_loop_config(cfg: PlanningConfig,
     if cfg.boundary_constraints:
         solver_overrides.setdefault("boundary_rows", True)
     p = cfg.vehicle
+    # dynamics family: 'ks' (reference parity) or 'st' (7-state single-track
+    # with tire dynamics — the reference defines it but never wires it,
+    # configuration.py:370-398; here selectable via YAML `dynamics_model`)
+    solver_overrides.setdefault("model", getattr(cfg, "dynamics_model", "ks"))
+    if solver_overrides.get("model") == "st":
+        solver_overrides.setdefault("vehicle", p)
     solver_cfg = sqp.SolverConfig(
         horizon=H,
         dt=cfg.delta_t,
@@ -129,8 +142,14 @@ def make_loop_config(cfg: PlanningConfig,
         std = 0.1 if cfg.use_case == "lane_following" else 0.05
     else:
         std = 0.0
+    # Beyond the reference's N=10 envelope, cold starts from a straight-line
+    # init can land in the blocked-lane local basin (the whole maneuver sits
+    # inside one horizon).  Warm up with obstacle-free reference-tracking
+    # solves first; H <= 10 keeps the reference-parity behavior bit-exact.
+    cold = 0 if H <= 10 else 2
     return LoopConfig(solver=solver_cfg, mode=mode, n_steps=cfg.iter_length,
-                      noise_std=std, plant_integrator=integ)
+                      noise_std=std, plant_integrator=integ,
+                      cold_start_solves=cold)
 
 
 _BOUNDARY_POINTS = 128  # fixed boundary polyline resampling (static shape)
@@ -184,6 +203,10 @@ def make_loop_params(cfg: PlanningConfig, lcfg: LoopConfig,
                                 lcfg.mode, dtype)
     x_init = jnp.asarray([cfg.init_position[0], cfg.init_position[1], 0.0,
                           cfg.init_velocity, cfg.init_orientation], dtype)
+    if lcfg.solver.model == "st":
+        # closed-loop carry is the full 7-dim ST plant state
+        x_init = dyn_mod.ks_to_st_state(x_init, lcfg.solver.wheelbase,
+                                        lcfg.solver.vehicle.b)
     if lcfg.solver.boundary_rows:
         boundaries, boundary_signs = _prepare_boundaries(cfg, dtype)
     else:
@@ -216,7 +239,8 @@ def make_loop_params(cfg: PlanningConfig, lcfg: LoopConfig,
 
 def _plant_step(lcfg: LoopConfig, x, u):
     step = dyn_mod.make_step_fn(lcfg.plant_integrator, lcfg.solver.dt,
-                                lcfg.solver.wheelbase)
+                                lcfg.solver.wheelbase, lcfg.solver.model,
+                                lcfg.solver.vehicle)
     return step(x, u)
 
 
@@ -244,7 +268,7 @@ def run_closed_loop(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
     def body(carry, step_idx):
         x, sqp_state, key = carry
         x_ref = ref_mod.window(params.track, step_idx, scfg.horizon,
-                               lcfg.mode, x0=x)
+                               lcfg.mode, x0=x[..., :dyn_mod.NX])
         if params.obs_track is not None:
             obs_c = jax.lax.dynamic_slice(
                 params.obs_track, (step_idx, 0, 0),
@@ -273,11 +297,14 @@ def run_closed_loop(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
     dtype = params.x_init.dtype
     init_u = jnp.zeros((scfg.horizon, 2), dtype)
     init_state = sqp.init_state(scfg, init_u, dtype)
-    for _ in range(lcfg.cold_start_solves):
+    for i in range(lcfg.cold_start_solves):
         x_ref0 = ref_mod.window(params.track, jnp.asarray(0), scfg.horizon,
-                                lcfg.mode, x0=params.x_init)
+                                lcfg.mode, x0=params.x_init[..., :dyn_mod.NX])
+        obs0 = params.obs_centers
+        if i == 0 and lcfg.warmup_obstacle_free:
+            obs0 = jnp.full_like(obs0, -1e4)  # rows trivially satisfied
         ocp0 = sqp.OcpParams(x0=params.x_init, x_ref=x_ref0,
-                             obs_centers=params.obs_centers,
+                             obs_centers=obs0,
                              min_dist=params.min_dist,
                              weights=params.weights,
                              boundaries=params.boundaries,
@@ -308,7 +335,7 @@ def closed_loop_chunk(lcfg: LoopConfig, params: LoopParams, carry,
     def body(c, _):
         step_idx, x, sqp_state, key = c
         x_ref = ref_mod.window(params.track, step_idx, scfg.horizon,
-                               lcfg.mode, x0=x)
+                               lcfg.mode, x0=x[..., :dyn_mod.NX])
         if params.obs_track is not None:
             obs_c = jax.lax.dynamic_slice(
                 params.obs_track, (step_idx, 0, 0),
@@ -373,12 +400,14 @@ def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
     def batched_window(step_idx, x):
         return jax.vmap(
             lambda tr, xl: ref_mod.window(tr, step_idx, scfg.horizon,
-                                          lcfg.mode, x0=xl))(
+                                          lcfg.mode, x0=xl[..., :dyn_mod.NX]))(
             params.track, x)
 
-    def make_ocp(x, x_ref):
+    def make_ocp(x, x_ref, obs_centers=None):
         return sqp.OcpParams(x0=x, x_ref=x_ref,
-                             obs_centers=params.obs_centers,
+                             obs_centers=(params.obs_centers
+                                          if obs_centers is None
+                                          else obs_centers),
                              min_dist=params.min_dist,
                              weights=params.weights,
                              boundaries=params.boundaries,
@@ -386,10 +415,13 @@ def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
 
     state = jax.vmap(lambda _: sqp.init_state(
         scfg, jnp.zeros((scfg.horizon, 2), dtype), dtype))(jnp.arange(n))
-    for _ in range(lcfg.cold_start_solves):
+    for i in range(lcfg.cold_start_solves):
         x_ref0 = batched_window(jnp.asarray(0), params.x_init)
+        obs0 = None
+        if i == 0 and lcfg.warmup_obstacle_free:
+            obs0 = jnp.full_like(params.obs_centers, -1e4)
         state = batched_solve(
-            scfg, make_ocp(params.x_init, x_ref0), state).state
+            scfg, make_ocp(params.x_init, x_ref0, obs0), state).state
 
     def body(carry, step_idx):
         x, sqp_state, key = carry

@@ -87,8 +87,13 @@ def make_bench_loop(n_steps: int, horizon: int, n_lanes: int,
     centers = circle_centers(jnp.asarray(obstacle[0], dtype),
                              jnp.asarray(obstacle[1], dtype),
                              6.0, 3.5, jnp.asarray(0.0, dtype))
+    x_init = jnp.asarray([path[0, 0], path[0, 1], 0.0, v, psi[0]], dtype)
+    if scfg.model == "st":
+        from mpc_tpu.models import dynamics as dyn_mod
+        x_init = dyn_mod.ks_to_st_state(x_init, scfg.wheelbase,
+                                        scfg.vehicle.b)
     one = cl.LoopParams(
-        x_init=jnp.asarray([path[0, 0], path[0, 1], 0.0, v, psi[0]], dtype),
+        x_init=x_init,
         track=track,
         obs_centers=centers,
         min_dist=jnp.asarray(3.3, dtype),
@@ -98,8 +103,11 @@ def make_bench_loop(n_steps: int, horizon: int, n_lanes: int,
         lambda x: jnp.broadcast_to(x[None], (n_lanes,) + x.shape), one)
     # perturb starts: position / velocity / heading jitter per lane
     key = jax.random.PRNGKey(1)
-    pert = jax.random.normal(key, (n_lanes, 5), dtype) * jnp.asarray(
-        [0.5, 0.15, 0.0, 0.5, 0.01], dtype)
+    nx = int(one.x_init.shape[-1])
+    scale = np.zeros(nx)
+    scale[:5] = [0.5, 0.15, 0.0, 0.5, 0.01]
+    pert = jax.random.normal(key, (n_lanes, nx), dtype) * jnp.asarray(
+        scale, dtype)
     batch = batch._replace(x_init=batch.x_init + pert,
                            noise_key=jax.random.split(key, n_lanes))
     return lcfg, batch

@@ -76,3 +76,39 @@ def test_compare_against_reference_artifacts():
     # sanity vs SURVEY.md §6 numbers
     assert 30 < stats["ref-casadi"]["p50_ms"] < 50
     assert 1 < stats["ref-forcespro"]["p50_ms"] < 4
+
+
+def test_profiling_time_jitted_and_breakdown():
+    import jax.numpy as jnp
+    from mpc_tpu.utils import profiling
+
+    def f(x):
+        return {"a": x * 2.0, "b": jnp.sum(x)}
+
+    x = jnp.ones((64, 64))
+    dt = profiling.time_jitted(f, x, reps=3)
+    assert dt > 0.0
+    res = profiling.breakdown([("double", f, (x,))], reps=2)
+    assert res["double"] > 0.0
+
+
+def test_profiling_solve_time_series():
+    import numpy as np
+    from mpc_tpu.utils import profiling
+
+    s = profiling.solve_time_series(0.3, 30)
+    assert s.shape == (30,)
+    np.testing.assert_allclose(s, 0.01)
+
+
+def test_profiling_trace_writes_files(tmp_path):
+    import os
+    import jax
+    import jax.numpy as jnp
+    from mpc_tpu.utils import profiling
+
+    with profiling.trace(str(tmp_path)):
+        jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    # trace dir gets a plugins/profile/<ts>/ tree
+    found = any("profile" in r for r, _, _ in os.walk(tmp_path))
+    assert found

@@ -214,27 +214,33 @@ def _parse_planning_problem(elem) -> PlanningProblem:
     pos = init.find("position/point")
     initial_position = np.array([float(pos.find("x").text),
                                  float(pos.find("y").text)])
+    # goalState may be absent entirely (e.g. the shipped-but-unconfigured
+    # ZAM_Tutorial-1_2_T-1.xml has a planning problem with no goal); fall
+    # back to an open-ended goal so the scenario still parses
     goal_elem = elem.find("goalState")
-    gpos = goal_elem.find("position")
     center = None
     lanelet_refs: List[int] = []
-    if gpos is not None:
-        rect = gpos.find("rectangle")
-        if rect is not None and rect.find("center") is not None:
-            c = rect.find("center")
-            center = np.array([float(c.findtext("x")),
-                               float(c.findtext("y"))])
-        lanelet_refs = [int(e.get("ref")) for e in gpos.findall("lanelet")]
-    t = goal_elem.find("time")
-    t_start = int(float(t.findtext("intervalStart",
-                                   t.findtext("exact", "0"))))
-    t_end_txt = t.findtext("intervalEnd")
-    t_end = int(float(t_end_txt)) if t_end_txt is not None else None
-    ori = goal_elem.find("orientation")
-    ori_iv = None
-    if ori is not None and ori.find("intervalStart") is not None:
-        ori_iv = (float(ori.findtext("intervalStart")),
-                  float(ori.findtext("intervalEnd")))
+    t_start, t_end, ori_iv = 0, None, None
+    if goal_elem is not None:
+        gpos = goal_elem.find("position")
+        if gpos is not None:
+            rect = gpos.find("rectangle")
+            if rect is not None and rect.find("center") is not None:
+                c = rect.find("center")
+                center = np.array([float(c.findtext("x")),
+                                   float(c.findtext("y"))])
+            lanelet_refs = [int(e.get("ref"))
+                            for e in gpos.findall("lanelet")]
+        t = goal_elem.find("time")
+        if t is not None:
+            t_start = int(float(t.findtext("intervalStart",
+                                           t.findtext("exact", "0"))))
+            t_end_txt = t.findtext("intervalEnd")
+            t_end = int(float(t_end_txt)) if t_end_txt is not None else None
+        ori = goal_elem.find("orientation")
+        if ori is not None and ori.find("intervalStart") is not None:
+            ori_iv = (float(ori.findtext("intervalStart")),
+                      float(ori.findtext("intervalEnd")))
     return PlanningProblem(
         id=int(elem.get("id")),
         initial_position=initial_position,

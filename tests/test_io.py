@@ -153,3 +153,20 @@ def test_synthetic_scenario_generator(tmp_path):
     r = plan_route(s, pp.initial_position, pp.goal.position_center,
                    pp.goal.position_lanelets)
     assert r.lanelet_ids[0] in (1000, 1001)
+
+
+@needs_ref
+def test_parse_every_shipped_scenario():
+    """All six reference XMLs parse (incl. the unconfigured ones —
+    USA_Peach, ZAM_Tutorial*; SURVEY.md §2.1 scenario row)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(REF, "scenarios", "*.xml")))
+    assert len(files) >= 6
+    for f in files:
+        s = load_scenario(f)
+        assert len(s.lanelets) >= 1, f
+        # every scenario has at least a planning problem with an init state
+        assert s.planning_problems, f
+        pp = s.planning_problems[0]
+        assert np.isfinite(pp.initial_position).all(), f

@@ -58,15 +58,24 @@ def main():
         rates[k] = measure(k, args.lanes_per_device, args.horizon,
                            args.steps)
     base = rates[sizes[0]]
+    platform = jax.devices()[0].platform
     out = {
         "metric": "weak_scaling_efficiency",
         "unit": "solves/s",
-        "platform": jax.devices()[0].platform,
+        "platform": platform,
         "lanes_per_device": args.lanes_per_device,
         "rates": {str(k): round(v, 1) for k, v in rates.items()},
         "efficiency": {
             str(k): round(rates[k] / (base * k), 3) for k in sizes},
     }
+    if platform == "cpu":
+        # virtual devices share the same physical cores: the k-device rate
+        # is compute-bound by one host, so efficiency here validates the
+        # sharding program, not the >85% target (that needs real chips,
+        # where per-device compute is independent and only the scalar
+        # diagnostics cross ICI)
+        out["note"] = ("cpu virtual mesh: devices share host cores; "
+                       "efficiency is not comparable to real-chip scaling")
     print(json.dumps(out))
 
 

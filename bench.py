@@ -26,13 +26,20 @@ import jax
 PER_CHIP_TARGET = 5000.0 / 8.0  # north-star per-chip share on a v5e-8
 
 
-def run_bench(batch: int = 1024, horizon: int = 30, n_steps: int = 10,
+def run_bench(batch: int = 1024, horizon: int = 30, n_steps: int = 20,
               repeats: int = 3):
     from mpc_tpu.planner import closed_loop as cl
     from mpc_tpu.utils import synthetic
 
+    # RTI operating point (al_iters=2, sqp_iters=3 = 6 Gauss-Newton steps
+    # per warm-started solve) with full-strength cold-start warmup: on this
+    # workload it is 100% feasible with tracking identical to the
+    # (3, 4) production default, at ~2x the throughput (PARITY.md
+    # ablations).  Still conservative next to the reference FORCESPRO
+    # deployment's 1 QP per step (``maxqps=1``, optimizer.py:237).
     lcfg, params = synthetic.make_bench_loop(
-        n_steps=n_steps, horizon=horizon, n_lanes=batch, method="al")
+        n_steps=n_steps, horizon=horizon, n_lanes=batch, method="al",
+        al_iters=2, sqp_iters=3)
 
     import numpy as np
 

@@ -13,7 +13,7 @@ Provides drop-in batched equivalents of:
   * the iLQR feedback rollout + box clamp -> ``feedback_rollout_vec``
     (all line-search alphas in one pass)
 
-Used by the solver when ``SolverConfig.lqr_backend == 'vec'``.
+Used by the batched throughput path (``ops.sqp_vec.solve_batch_vec``).
 """
 from __future__ import annotations
 

@@ -55,6 +55,14 @@ class LoopConfig:
                                 # straight-line init — kills the wrong-side
                                 # local basins on deep horizons.  Only active
                                 # when cold_start_solves > 0.
+    warmup_full_strength: bool = True  # cold-start solves always run at
+                                # least (al_iters=3, sqp_iters=4) even when
+                                # the loop itself uses a cheaper RTI budget:
+                                # the cold-start transient needs multiplier
+                                # convergence the warm-started steady state
+                                # does not (infeasibility concentrates in
+                                # steps 0-3 and vanishes by step 4 at every
+                                # iteration budget — PARITY.md ablations)
 
 
 class LoopParams(NamedTuple):
@@ -237,6 +245,17 @@ def make_loop_params(cfg: PlanningConfig, lcfg: LoopConfig,
     )
 
 
+def _warmup_cfg(lcfg: LoopConfig) -> sqp.SolverConfig:
+    """Solver config for cold-start solves (full-strength when enabled)."""
+    scfg = lcfg.solver
+    if not lcfg.warmup_full_strength or scfg.method != "al":
+        return scfg
+    if scfg.al_iters >= 3 and scfg.sqp_iters >= 4:
+        return scfg
+    return dataclasses.replace(scfg, al_iters=max(scfg.al_iters, 3),
+                               sqp_iters=max(scfg.sqp_iters, 4))
+
+
 def _plant_step(lcfg: LoopConfig, x, u):
     step = dyn_mod.make_step_fn(lcfg.plant_integrator, lcfg.solver.dt,
                                 lcfg.solver.wheelbase, lcfg.solver.model,
@@ -297,6 +316,7 @@ def run_closed_loop(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
     dtype = params.x_init.dtype
     init_u = jnp.zeros((scfg.horizon, 2), dtype)
     init_state = sqp.init_state(scfg, init_u, dtype)
+    wcfg = _warmup_cfg(lcfg)
     for i in range(lcfg.cold_start_solves):
         x_ref0 = ref_mod.window(params.track, jnp.asarray(0), scfg.horizon,
                                 lcfg.mode, x0=params.x_init[..., :dyn_mod.NX])
@@ -309,7 +329,7 @@ def run_closed_loop(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
                              weights=params.weights,
                              boundaries=params.boundaries,
                              boundary_signs=params.boundary_signs)
-        init_state = sqp.solve(scfg, ocp0, init_state).state
+        init_state = sqp.solve(wcfg, ocp0, init_state).state
     carry0 = (params.x_init, init_state, params.noise_key)
     _, (X, U, status, viol, cost) = jax.lax.scan(
         body, carry0, jnp.arange(lcfg.n_steps))
@@ -415,13 +435,14 @@ def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
 
     state = jax.vmap(lambda _: sqp.init_state(
         scfg, jnp.zeros((scfg.horizon, 2), dtype), dtype))(jnp.arange(n))
+    wcfg = _warmup_cfg(lcfg)
     for i in range(lcfg.cold_start_solves):
         x_ref0 = batched_window(jnp.asarray(0), params.x_init)
         obs0 = None
         if i == 0 and lcfg.warmup_obstacle_free:
             obs0 = jnp.full_like(params.obs_centers, -1e4)
         state = batched_solve(
-            scfg, make_ocp(params.x_init, x_ref0, obs0), state).state
+            wcfg, make_ocp(params.x_init, x_ref0, obs0), state).state
 
     def body(carry, step_idx):
         x, sqp_state, key = carry

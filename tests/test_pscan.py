@@ -101,3 +101,39 @@ def test_sqp_with_pscan_backend_matches_scan():
     s2 = sqp.solve(cfg_par, p, sqp.init_state(cfg_par))
     np.testing.assert_allclose(np.asarray(s2.U), np.asarray(s1.U),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_pscan_stage_sharded_over_mesh():
+    """Horizon/stage parallelism (the sequence-parallelism analog,
+    SURVEY.md §2.3): the associative-scan backward pass compiles and
+    executes with the STAGE axis sharded over the mesh's sp axis, and
+    matches the sequential sweep.  On real hardware the scan's combine
+    steps become ICI collectives."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mpc_tpu.parallel import mesh as pm
+
+    n_dev = min(len(jax.devices()), 8)
+    mesh = pm.make_mesh((1, n_dev), devices=jax.devices()[:n_dev])
+
+    rng = np.random.default_rng(7)
+    H = 128  # long horizon: 16 stages per device on the 8-way mesh
+    prob = _random_problem(rng, H)
+    Q, Rm, M, qx, qu, QH, qH, A, B, r, dx0 = _to_jnp(prob)
+    quad = R.StageQuad(Q=Q, R=Rm, M=M, qx=qx, qu=qu)
+    dyn = R.LinDyn(A=A, B=B, r=r)
+    g_seq = R.backward_pass(quad, QH, qH, dyn, reg=1e-6)
+
+    def stage_shard(x):
+        spec = P("sp", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    quad_s = jax.tree.map(stage_shard, quad)
+    dyn_s = jax.tree.map(stage_shard, dyn)
+    with mesh:
+        g_par = jax.jit(lambda q, d: pscan.backward_pass_pscan(
+            q, QH, qH, d, reg=1e-6))(quad_s, dyn_s)
+        g_par = jax.tree.map(jax.block_until_ready, g_par)
+    np.testing.assert_allclose(np.asarray(g_par.K), np.asarray(g_seq.K),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_par.d), np.asarray(g_seq.d),
+                               rtol=2e-3, atol=2e-3)

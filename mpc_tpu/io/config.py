@@ -69,6 +69,18 @@ class PlanningConfig:
     # dynamics — defined by the reference at configuration.py:370-398 but
     # never wired; first-class here via YAML ``dynamics_model: st``)
     dynamics_model: str = "ks"
+    # progress-based reference windowing (path tracking): window base = the
+    # ego's closest path index instead of the loop step.  No reference
+    # analog — see planner/reference.py progress_index
+    progress_window: bool = False
+    # curvature-aware desired-velocity profile (slow down into corners);
+    # see planner/reference.py speed_profile.  No reference analog (its
+    # configured scenarios are straight roads)
+    curvature_speed_limit: bool = False
+    a_lat_max: float = 4.0   # comfort lateral-accel cap for the profile
+    # per-point desired-velocity profile matching reference_path rows; set
+    # by the curvature speed planner (None => constant desired_velocity)
+    v_profile: Optional[np.ndarray] = None
 
     def __post_init__(self):
         if self.dynamics_model not in ("ks", "st"):
@@ -90,6 +102,50 @@ class PlanningConfig:
 def load_settings(path: str) -> Dict:
     with open(path, "r") as f:
         return yaml.safe_load(f)
+
+
+def _mean_lateral_offset(poly: np.ndarray, path: np.ndarray,
+                         normals: np.ndarray) -> float:
+    """Mean signed lateral offset of ``poly``'s points from ``path``
+    (positive = left of travel direction)."""
+    idx = np.argmin(
+        ((poly[:, None, :] - path[None, :, :]) ** 2).sum(-1), axis=1)
+    off = ((poly - path[idx]) * normals[idx]).sum(-1)
+    return float(off.mean())
+
+
+def _road_edges(scenario: Scenario, route_ids, reference_path: np.ndarray):
+    """(left, right) road-edge polylines: the extreme-offset lanelet edges
+    among the route's lanelets and their immediate lateral neighbors."""
+    from mpc_tpu.utils.geometry import compute_orientation_from_polyline
+
+    cand = set(route_ids)
+    for lid in list(cand):
+        l = scenario.lanelets.get(lid)
+        if l is None:
+            continue
+        for a in (l.adj_left, l.adj_right):
+            if a is not None and a in scenario.lanelets:
+                cand.add(a)
+    if not cand:
+        return None, None
+    path = np.asarray(reference_path, dtype=float)
+    ori = compute_orientation_from_polyline(path)
+    normals = np.stack([-np.sin(ori), np.cos(ori)], axis=1)
+    best = []
+    for lid in cand:
+        l = scenario.lanelets[lid]
+        for poly in (l.left_vertices, l.right_vertices):
+            if poly is None or len(poly) < 2:
+                continue
+            best.append((_mean_lateral_offset(
+                np.asarray(poly, float), path, normals), poly))
+    if not best:
+        return None, None
+    best.sort(key=lambda t: t[0])
+    right = np.asarray(best[0][1], dtype=float)
+    left = np.asarray(best[-1][1], dtype=float)
+    return left, right
 
 
 def clip_reference_path(origin_path: np.ndarray, init_position: np.ndarray,
@@ -171,6 +227,15 @@ def build_config(settings: Dict, scenario: Scenario,
     delta_t = scenario.dt if scenario.dt else 0.1
     time_step_limit = (pp.goal.time_end if pp.goal.time_end is not None
                        else pp.goal.time_start)
+    # YAML override: scenarios with no goal time window (e.g. the shipped
+    # ZAM_Tutorial-1_2_T-1 planning problem has no goalState at all) have
+    # no derivable time budget — the config must supply one
+    time_step_limit = int(gps.get("time_step_limit", time_step_limit))
+    if time_step_limit < 2:
+        raise ValueError(
+            f"goal time budget is {time_step_limit} steps; the scenario's "
+            "planning problem carries no usable goal time window — set "
+            "general_planning_settings.time_step_limit in the YAML")
     desired_velocity = derive_desired_velocity(clipped, time_step_limit,
                                                delta_t)
 
@@ -181,9 +246,36 @@ def build_config(settings: Dict, scenario: Scenario,
     else:
         reference_path = clipped
 
-    orientation = compute_orientation_from_polyline(reference_path)
-
     vehicle = get_vehicle(vehicle_settings["vehicle_model"])
+
+    # curvature speed planning: re-time the reference path by integrating a
+    # curvature/steering-rate-limited speed profile, so per-step targets
+    # natively encode corner speeds (spacing = v(s) * dt).  No reference
+    # analog — its configured scenarios are straight roads and its spacing
+    # always encodes the constant v_des (configuration.py:548-549).
+    v_profile = None
+    if gps.get("curvature_speed_limit", False):
+        from mpc_tpu.planner.reference import speed_profile
+        prof = speed_profile(
+            reference_path, desired_velocity,
+            a_lat_max=float(gps.get("a_lat_max", 4.0)),
+            a_long_max=0.5 * vehicle.longitudinal.a_max,
+            wheelbase=float(vehicle_settings["wheelbase"]),
+            steer_rate_max=vehicle.steering.v_max)
+        s_axis = np.concatenate([[0.0], np.cumsum(np.hypot(
+            *np.diff(reference_path, axis=0).T))])
+        pts, vs = [], []
+        s_cur = 0.0
+        while s_cur < s_axis[-1] and len(pts) < 100000:
+            pts.append([np.interp(s_cur, s_axis, reference_path[:, 0]),
+                        np.interp(s_cur, s_axis, reference_path[:, 1])])
+            v_here = max(float(np.interp(s_cur, s_axis, prof)), 0.3)
+            vs.append(v_here)
+            s_cur += v_here * delta_t
+        reference_path = np.asarray(pts, dtype=float)
+        v_profile = np.asarray(vs, dtype=float)
+
+    orientation = compute_orientation_from_polyline(reference_path)
 
     # --- obstacle dict (configuration.py:471-483) ---
     obstacle_trajectory = None
@@ -205,12 +297,38 @@ def build_config(settings: Dict, scenario: Scenario,
         static_obstacle = {"position_x": -100.0, "position_y": 0.0,
                            "length": 0.0, "width": 0.0, "orientation": 0.0}
 
-    # road boundaries (configuration.py:432-433: lanelets[1]/[0]
-    # right_vertices); generalized to first/second lanelet when present
-    lids = sorted(scenario.lanelets)
-    left_b = (scenario.lanelets[lids[1]].right_vertices
-              if len(lids) > 1 else None)
-    right_b = scenario.lanelets[lids[0]].right_vertices if lids else None
+    # optional reference detour (``reference_detour: true``): bend the
+    # reference laterally around a near-head-on obstacle so the solver
+    # starts in the avoidance basin.  The reference has no analog — its
+    # configured CA scenario offsets the obstacle ~1.2 m from the path,
+    # which seeds the basin implicitly; a dead-ahead obstacle (e.g. the
+    # shipped-but-unconfigured ZAM_Tutorial_Urban-3_2) is a symmetric
+    # saddle for any local solver.  Hard constraints still enforce the
+    # true clearance.
+    if (gps.get("reference_detour", False)
+            and use_case == "collision_avoidance"):
+        from mpc_tpu.models.constraints import approx_circle_radius
+        from mpc_tpu.utils.geometry import lateral_detour
+        r_obs, _ = approx_circle_radius(static_obstacle["length"],
+                                        static_obstacle["width"])
+        r_ego, _ = approx_circle_radius(vehicle.l, vehicle.w)
+        reference_path = lateral_detour(
+            reference_path,
+            np.array([static_obstacle["position_x"],
+                      static_obstacle["position_y"]]),
+            required_clearance=r_ego + r_obs + 0.5)
+        orientation = compute_orientation_from_polyline(reference_path)
+
+    # road boundaries.  The reference hardcodes lanelets[1]/[0]
+    # right_vertices (configuration.py:432-433) — correct only for its
+    # two-lane ZAM road where lanelet 1 is the REVERSED oncoming lane (its
+    # "right" edge is the far road edge).  For same-direction neighbors
+    # (e.g. ZAM_Tutorial_Urban) that picks the lane DIVIDER as the road
+    # edge.  Generalized: among the route's lanelets and their immediate
+    # neighbors, take the edge polylines with the extreme mean lateral
+    # offsets from the reference path (leftmost / rightmost = road edges).
+    left_b, right_b = _road_edges(scenario, route.lanelet_ids,
+                                  reference_path)
 
     return PlanningConfig(
         scenario_name=settings["scenario_settings"]["scenario_name"],
@@ -239,6 +357,10 @@ def build_config(settings: Dict, scenario: Scenario,
             gps.get("boundary_constraints", False)),
         obstacle_trajectory=obstacle_trajectory,
         dynamics_model=str(gps.get("dynamics_model", "ks")),
+        progress_window=bool(gps.get("progress_window", False)),
+        curvature_speed_limit=bool(gps.get("curvature_speed_limit", False)),
+        a_lat_max=float(gps.get("a_lat_max", 4.0)),
+        v_profile=v_profile,
     )
 
 

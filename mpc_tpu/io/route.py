@@ -150,7 +150,18 @@ def plan_route(scn: Scenario, init_position: np.ndarray,
         g = scn.find_lanelets_by_position(goal_position)
         goal_ids = g if g else [scn.nearest_lanelet(goal_position)]
     else:
-        raise ValueError("goal needs either a position or lanelet refs")
+        # no goal at all (the shipped ZAM_Tutorial-1_2_T-1 planning problem
+        # has no goalState): lane-following fallback — walk the successor
+        # chain from the start lanelet to the network edge and route there
+        chain_end, seen = start_id, {start_id}
+        while True:
+            succs = [s for s in scn.lanelets[chain_end].successors
+                     if s in scn.lanelets and s not in seen]
+            if not succs:
+                break
+            chain_end = succs[0]
+            seen.add(chain_end)
+        goal_ids = [chain_end]
 
     ids, kinds = shortest_route(scn, start_id, goal_ids)
 

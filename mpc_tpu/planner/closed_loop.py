@@ -55,6 +55,9 @@ class LoopConfig:
                                 # straight-line init — kills the wrong-side
                                 # local basins on deep horizons.  Only active
                                 # when cold_start_solves > 0.
+    progress_window: bool = False  # window base = ego's closest path index
+                                # (path tracking) instead of the loop step
+                                # (schedule tracking, reference parity)
     warmup_full_strength: bool = True  # cold-start solves always run at
                                 # least (al_iters=3, sqp_iters=4) even when
                                 # the loop itself uses a cheaper RTI budget:
@@ -157,7 +160,9 @@ def make_loop_config(cfg: PlanningConfig,
     cold = 0 if H <= 10 else 2
     return LoopConfig(solver=solver_cfg, mode=mode, n_steps=cfg.iter_length,
                       noise_std=std, plant_integrator=integ,
-                      cold_start_solves=cold)
+                      cold_start_solves=cold,
+                      progress_window=bool(getattr(cfg, "progress_window",
+                                                   False)))
 
 
 _BOUNDARY_POINTS = 128  # fixed boundary polyline resampling (static shape)
@@ -206,8 +211,12 @@ def make_loop_params(cfg: PlanningConfig, lcfg: LoopConfig,
         jnp.asarray(cfg.static_obstacle["position_y"]),
         cfg.static_obstacle["length"], cfg.static_obstacle["width"],
         jnp.asarray(cfg.static_obstacle["orientation"]))))
+    # per-point speed profile when curvature speed planning re-timed the
+    # path (io.config sets v_profile); scalar cruise speed otherwise
+    v_des = (cfg.v_profile if getattr(cfg, "v_profile", None) is not None
+             else cfg.desired_velocity)
     track = ref_mod.build_track(cfg.reference_path, cfg.orientation,
-                                cfg.desired_velocity, lcfg.solver.horizon,
+                                v_des, lcfg.solver.horizon,
                                 lcfg.mode, dtype)
     x_init = jnp.asarray([cfg.init_position[0], cfg.init_position[1], 0.0,
                           cfg.init_velocity, cfg.init_orientation], dtype)
@@ -284,10 +293,16 @@ def run_closed_loop(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
     """
     scfg = lcfg.solver
 
+    ahead = max(scfg.horizon + 2, 16)
+
     def body(carry, step_idx):
-        x, sqp_state, key = carry
-        x_ref = ref_mod.window(params.track, step_idx, scfg.horizon,
-                               lcfg.mode, x0=x[..., :dyn_mod.NX])
+        x, sqp_state, key, prev_base = carry
+        base = (ref_mod.progress_index_local(params.track, x, prev_base,
+                                             ahead)
+                if lcfg.progress_window else step_idx)
+        x_ref = ref_mod.window(
+            params.track, base, scfg.horizon, lcfg.mode,
+            x0=None if lcfg.progress_window else x[..., :dyn_mod.NX])
         if params.obs_track is not None:
             obs_c = jax.lax.dynamic_slice(
                 params.obs_track, (step_idx, 0, 0),
@@ -311,7 +326,7 @@ def run_closed_loop(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
         # shift-and-hold warm start (optimizer.py:652-653)
         warm = _shift_state(sol.state)
         out = (x, u_apply, sol.status, sol.viol, sol.cost)
-        return (x_next, warm, key), out
+        return (x_next, warm, key, jnp.asarray(base, jnp.int32)), out
 
     dtype = params.x_init.dtype
     init_u = jnp.zeros((scfg.horizon, 2), dtype)
@@ -330,7 +345,8 @@ def run_closed_loop(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
                              boundaries=params.boundaries,
                              boundary_signs=params.boundary_signs)
         init_state = sqp.solve(wcfg, ocp0, init_state).state
-    carry0 = (params.x_init, init_state, params.noise_key)
+    carry0 = (params.x_init, init_state, params.noise_key,
+              jnp.asarray(0, jnp.int32))
     _, (X, U, status, viol, cost) = jax.lax.scan(
         body, carry0, jnp.arange(lcfg.n_steps))
     return LoopResult(X=X, U=U, status=status, viol=viol, cost=cost)
@@ -347,15 +363,21 @@ def closed_loop_chunk(lcfg: LoopConfig, params: LoopParams, carry,
     """Run ``n_steps`` closed-loop steps from an explicit carry.
 
     Building block for checkpoint/resume (``mpc_tpu.utils.checkpoint``): the
-    carry is (step_idx, x, SqpState, key) and can be snapshotted between
-    chunks.  The reference has no analog (SURVEY.md §5 checkpoint row).
+    carry is (step_idx, x, SqpState, key, progress_base) and can be
+    snapshotted between chunks.  The reference has no analog (SURVEY.md §5 checkpoint row).
     """
     scfg = lcfg.solver
 
+    ahead = max(scfg.horizon + 2, 16)
+
     def body(c, _):
-        step_idx, x, sqp_state, key = c
-        x_ref = ref_mod.window(params.track, step_idx, scfg.horizon,
-                               lcfg.mode, x0=x[..., :dyn_mod.NX])
+        step_idx, x, sqp_state, key, prev_base = c
+        base = (ref_mod.progress_index_local(params.track, x, prev_base,
+                                             ahead)
+                if lcfg.progress_window else step_idx)
+        x_ref = ref_mod.window(
+            params.track, base, scfg.horizon, lcfg.mode,
+            x0=None if lcfg.progress_window else x[..., :dyn_mod.NX])
         if params.obs_track is not None:
             obs_c = jax.lax.dynamic_slice(
                 params.obs_track, (step_idx, 0, 0),
@@ -376,7 +398,8 @@ def closed_loop_chunk(lcfg: LoopConfig, params: LoopParams, carry,
         x_next = _plant_step(lcfg, x, u_apply)
         warm = _shift_state(sol.state)
         out = (x, u_apply, sol.status, sol.viol, sol.cost)
-        return (step_idx + 1, x_next, warm, key), out
+        return (step_idx + 1, x_next, warm, key,
+                jnp.asarray(base, jnp.int32)), out
 
     carry, (X, U, status, viol, cost) = jax.lax.scan(
         body, carry, None, length=n_steps)
@@ -389,7 +412,7 @@ def init_carry(lcfg: LoopConfig, params: LoopParams):
     state = sqp.init_state(lcfg.solver, jnp.zeros((lcfg.solver.horizon, 2),
                                                   dtype), dtype)
     return (jnp.asarray(0, jnp.int32), params.x_init, state,
-            params.noise_key)
+            params.noise_key, jnp.asarray(0, jnp.int32))
 
 
 @partial(jax.jit, static_argnums=0)
@@ -417,11 +440,17 @@ def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
     n = params.x_init.shape[0]
     dtype = params.x_init.dtype
 
-    def batched_window(step_idx, x):
-        return jax.vmap(
-            lambda tr, xl: ref_mod.window(tr, step_idx, scfg.horizon,
-                                          lcfg.mode, x0=xl[..., :dyn_mod.NX]))(
-            params.track, x)
+    ahead = max(scfg.horizon + 2, 16)
+
+    def batched_window(step_idx, x, prev_bases):
+        def one(tr, xl, pb):
+            base = (ref_mod.progress_index_local(tr, xl, pb, ahead)
+                    if lcfg.progress_window else step_idx)
+            ref = ref_mod.window(
+                tr, base, scfg.horizon, lcfg.mode,
+                x0=None if lcfg.progress_window else xl[..., :dyn_mod.NX])
+            return ref, base
+        return jax.vmap(one)(params.track, x, prev_bases)
 
     def make_ocp(x, x_ref, obs_centers=None):
         return sqp.OcpParams(x0=x, x_ref=x_ref,
@@ -436,8 +465,10 @@ def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
     state = jax.vmap(lambda _: sqp.init_state(
         scfg, jnp.zeros((scfg.horizon, 2), dtype), dtype))(jnp.arange(n))
     wcfg = _warmup_cfg(lcfg)
+    zero_bases = jnp.zeros((n,), jnp.int32)
     for i in range(lcfg.cold_start_solves):
-        x_ref0 = batched_window(jnp.asarray(0), params.x_init)
+        x_ref0, _ = batched_window(jnp.asarray(0), params.x_init,
+                                   zero_bases)
         obs0 = None
         if i == 0 and lcfg.warmup_obstacle_free:
             obs0 = jnp.full_like(params.obs_centers, -1e4)
@@ -445,8 +476,8 @@ def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
             wcfg, make_ocp(params.x_init, x_ref0, obs0), state).state
 
     def body(carry, step_idx):
-        x, sqp_state, key = carry
-        x_ref = batched_window(step_idx, x)
+        x, sqp_state, key, prev_bases = carry
+        x_ref, bases = batched_window(step_idx, x, prev_bases)
         sol = batched_solve(scfg, make_ocp(x, x_ref), sqp_state)
         key, sub = jax.random.split(key)
         noise = lcfg.noise_std * jax.random.normal(sub, (n, 2), dtype=dtype)
@@ -455,11 +486,11 @@ def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
             x, u_apply)
         warm = jax.vmap(_shift_state)(sol.state)
         out = (x, u_apply, sol.status, sol.viol, sol.cost)
-        return (x_next, warm, key), out
+        return (x_next, warm, key, jnp.asarray(bases, jnp.int32)), out
 
     key0 = params.noise_key[0] if params.noise_key.ndim > 1 \
         else params.noise_key
-    carry0 = (params.x_init, state, key0)
+    carry0 = (params.x_init, state, key0, zero_bases)
     _, (X, U, status, viol, cost) = jax.lax.scan(
         body, carry0, jnp.arange(lcfg.n_steps))
     # scan stacks per-step outputs on axis 0: (T, B, ...) -> (B, T, ...)

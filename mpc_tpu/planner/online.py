@@ -1,0 +1,76 @@
+"""Streaming online planner — the serving-style per-step API.
+
+The reference's planners only run complete offline simulations (the plant
+update is internal, ``optimizer.py:356, 623``).  For deployment the planner
+must consume MEASURED states one at a time and return the next control
+within a latency budget.  :class:`OnlinePlanner` wraps the warm-started
+solver state behind exactly that interface; the underlying compiled step is
+the same ``closed_loop_chunk`` program used by checkpoint/resume.
+
+    planner = OnlinePlanner(config)
+    u, info = planner.step(x_measured)   # one warm NMPC solve
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_tpu.io.config import PlanningConfig
+from mpc_tpu.models import dynamics as dyn_mod
+from mpc_tpu.planner import closed_loop as cl
+
+
+class StepInfo(NamedTuple):
+    status: int        # 1 converged / 0 max-iters / -7 infeasible
+    viol: float        # max constraint violation of the planned horizon
+    cost: float        # objective value
+    planned_x: np.ndarray  # the state the solver planned from
+
+
+class OnlinePlanner:
+    """Warm-started receding-horizon planner over measured states.
+
+    Unlike the offline loops, the plant is EXTERNAL: each call to
+    :meth:`step` takes the latest measured state and returns the input to
+    apply.  The internal loop carry (warm-start trajectory, AL multipliers,
+    progress index, PRNG key) persists across calls, so each step is one
+    warm real-time-iteration solve — the deployment pattern FORCESPRO's
+    generated solver targets (``maxqps=1``, reference ``optimizer.py:237``).
+    """
+
+    def __init__(self, config: PlanningConfig,
+                 horizon: Optional[int] = None, seed: int = 0,
+                 **solver_overrides):
+        self.config = config
+        self.lcfg = cl.make_loop_config(config, horizon=horizon,
+                                        noised=False, **solver_overrides)
+        self.params = cl.make_loop_params(config, self.lcfg, seed=seed)
+        self._carry = cl.init_carry(self.lcfg, self.params)
+
+    def reset(self) -> None:
+        self._carry = cl.init_carry(self.lcfg, self.params)
+
+    def step(self, x_measured) -> Tuple[np.ndarray, StepInfo]:
+        """One warm NMPC solve from the measured state.
+
+        x_measured: (5,) KS state ``[x, y, delta, v, psi]`` (lifted
+        automatically for the ST model).  Returns ``(u, info)`` with
+        ``u = [deltaDot, aLong]`` to apply for the next ``delta_t``.
+        """
+        x = jnp.asarray(x_measured, self.params.x_init.dtype)
+        if self.lcfg.solver.model == "st" and x.shape[-1] == dyn_mod.NX:
+            x = dyn_mod.ks_to_st_state(x, self.lcfg.solver.wheelbase,
+                                       self.lcfg.solver.vehicle.b)
+        step_idx, _, state, key, base = self._carry
+        carry = (step_idx, x, state, key, base)
+        self._carry, res = cl.closed_loop_chunk(self.lcfg, self.params,
+                                                carry, 1)
+        u = np.asarray(res.U[0])
+        info = StepInfo(status=int(res.status[0]),
+                        viol=float(res.viol[0]),
+                        cost=float(res.cost[0]),
+                        planned_x=np.asarray(res.X[0]))
+        return u, info

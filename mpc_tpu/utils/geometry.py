@@ -129,3 +129,53 @@ def arclength_projection_jnp(path_points: jnp.ndarray,
                          jnp.cumsum(seg_len)])
     idx = jnp.argmin(d2)
     return s[idx] + t[idx] * seg_len[idx]
+
+
+def lateral_detour(polyline: np.ndarray, obstacle: np.ndarray,
+                   required_clearance: float, side: float | None = None,
+                   entry: float = 25.0, exit_dist: float = 15.0
+                   ) -> np.ndarray:
+    """Bend a reference path laterally around a near-head-on obstacle.
+
+    A local NMPC solver cannot break the symmetry of an obstacle sitting ON
+    the reference line (zero-gradient saddle); this host-side pre-pass adds
+    a smooth lateral offset bump so the solver starts in the avoidance
+    basin — the hard constraints still enforce the true clearance.  No-op
+    when the obstacle already clears the path laterally.
+
+    side: +1 bends left of the travel direction, -1 right; default picks
+    the side opposite the obstacle's (tiny) lateral offset, left on a tie.
+    The reference has no analog: its configured scenarios offset the
+    obstacle ~1.2 m from the path, which seeds the basin implicitly.
+    """
+    path = np.asarray(polyline, dtype=float)
+    obstacle = np.asarray(obstacle, dtype=float)
+    s = compute_pathlength_from_polyline(path)
+    i0 = find_closest_point(path, obstacle)
+    lo, hi = max(i0 - 1, 0), min(i0 + 1, len(path) - 1)
+    tang = path[hi] - path[lo]
+    norm = np.hypot(*tang)
+    if norm < 1e-9:
+        return path
+    tang = tang / norm
+    normal = np.array([-tang[1], tang[0]])  # left of travel
+    clearance = float((obstacle - path[i0]) @ normal)
+    if abs(clearance) >= required_clearance:
+        return path
+    if side is None:
+        side = -np.sign(clearance) if abs(clearance) > 1e-6 else 1.0
+    target = clearance + side * required_clearance
+    s0 = s[i0]
+    rise = _smoothstep01((s - (s0 - entry)) / max(entry * 0.7, 1e-6))
+    fall = 1.0 - _smoothstep01((s - (s0 + exit_dist * 0.3))
+                               / max(exit_dist * 0.7, 1e-6))
+    bump = target * rise * fall  # (n,)
+    # offset each vertex along its own left normal
+    ori = compute_orientation_from_polyline(path)
+    normals = np.stack([-np.sin(ori), np.cos(ori)], axis=1)
+    return path + bump[:, None] * normals
+
+
+def _smoothstep01(t: np.ndarray) -> np.ndarray:
+    t = np.clip(t, 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)

@@ -87,28 +87,24 @@ def test_tutorial_urban_head_on_obstacle():
 
 @needs_ref
 def test_peach_intersection_from_rest():
-    """USA_Peach: rest start + 90-deg urban corners.
+    """USA_Peach: rest start + 90-deg urban corners through a 74-lanelet
+    intersection network.
 
     Exercises progress windowing + the curvature speed profile (without
     them the ego either never moves — the schedule outruns a rest start —
     or overshoots the first corner and deadlocks against the v >= 0
-    bound).  Current capability: pulls away from rest, takes the first
-    corner on-path at profile speed, and completes most of the route;
-    the latter intersection legs still show multi-meter excursions
-    (KNOWN LIMITATION — branch-robust localization over self-approaching
-    urban routes is future work; see configs/config_LF_USA_Peach YAML)."""
+    bound) under the forcespro-mode IP solver: the full 215-step route
+    completes within ~1 m of the path everywhere and reaches the goal."""
     c, res = _run("config_LF_USA_Peach-2_1_T-1.yaml")
     X = np.asarray(res.X)
     assert X.shape[0] == c.iter_length
     assert abs(X[0, 3]) < 1e-6  # starts at rest
+    assert (np.asarray(res.status) >= 0).all()
     d = _dist_to_path(X[:, :2], c.reference_path)
-    # first corner (route start, sharpest turn from rest) taken on-path
-    assert float(d[:50].max()) < 2.0
-    # completes most of the route: closest approach to the goal point
-    route_len = np.sum(np.linalg.norm(
-        np.diff(c.reference_path, axis=0), axis=1))
+    assert float(d.max()) < 1.5
+    # reaches the goal point at the end of the run
     goal_dist = np.linalg.norm(X[:, :2] - c.reference_path[-1], axis=1)
-    assert float(goal_dist.min()) < 0.25 * route_len
+    assert float(goal_dist.min()) < 2.0
     # the speed profile actually limits corner speed: slower through the
     # first corner than the cruise v_des
     assert float(X[10:40, 3].max()) < 0.75 * c.desired_velocity

@@ -148,9 +148,15 @@ def progress_index_local(track: ReferenceTrack, x: jax.Array,
     points traversable in one step (v_max * dt / spacing) plus the lateral
     search slack; the loop uses ``max(H + 2, 16)``.
     """
-    sl = jax.lax.dynamic_slice(track.path, (prev, 0), (ahead, 2))
+    # clamp the window start ourselves: dynamic_slice silently shifts a
+    # start that runs past the end, which would misalign ``start + argmin``
+    n = track.path.shape[0]
+    start = jnp.clip(prev, 0, n - ahead)
+    sl = jax.lax.dynamic_slice(track.path, (start, 0), (ahead, 2))
     d2 = jnp.sum((sl - x[..., :2]) ** 2, axis=-1)
-    return prev + jnp.argmin(d2).astype(jnp.int32)
+    # never report progress past the true path end (indices beyond T are
+    # padding that repeats the final point)
+    return jnp.minimum(start + jnp.argmin(d2).astype(jnp.int32), track.T)
 
 
 def window(track: ReferenceTrack, step: jax.Array, horizon: int,

@@ -19,7 +19,6 @@ Inputs are pre-packed as (tiles, H, n*m, 8, 128) by ``pack_lanes``.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ Used by the batched throughput path (``ops.sqp_vec.solve_batch_vec``).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

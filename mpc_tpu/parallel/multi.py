@@ -19,7 +19,6 @@ from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mpc_tpu.io.config import PlanningConfig
 from mpc_tpu.planner import closed_loop as cl

@@ -7,7 +7,7 @@ and the road boundary, all as batched NumPy geometry.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

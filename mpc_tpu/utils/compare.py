@@ -10,7 +10,7 @@ reference FORCESPRO / mpc_tpu) come for free.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -4,7 +4,6 @@ Float64 NumPy oracles per the test strategy in SURVEY.md §4c; parity targets
 cite the reference formulation (reference/MPC_Planner/*.py).
 """
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 

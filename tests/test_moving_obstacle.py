@@ -2,12 +2,10 @@
 dynamic obstacles at their initial state — configuration.py:472-476)."""
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mpc_tpu.models.costs import Weights
 from mpc_tpu.ops import sqp
 from mpc_tpu.planner import closed_loop as cl
-from mpc_tpu.planner import reference as ref_mod
 from mpc_tpu.utils.synthetic import ZAM_LIKE_WEIGHTS
 
 

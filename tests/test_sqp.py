@@ -1,5 +1,4 @@
 """Functional tests of the AL-SQP solver on small NMPC instances."""
-import dataclasses
 
 import numpy as np
 import jax.numpy as jnp

@@ -28,7 +28,6 @@ def measure(n_devices: int, lanes_per_device: int, horizon: int,
             n_steps: int) -> float:
     from mpc_tpu.parallel import batch as pb
     from mpc_tpu.parallel import mesh as pm
-    from mpc_tpu.planner import closed_loop as cl
     from mpc_tpu.utils import synthetic
 
     mesh = pm.make_mesh((n_devices, 1), devices=jax.devices()[:n_devices])

@@ -50,6 +50,10 @@ def main():
             rows.append({
                 "config": cfg_file,
                 "framework": fw,
+                # cross-framework rows run a config under the OTHER
+                # formulation for comparison; specialized configs
+                # (boundary corridor, detour) are tuned for their own
+                "native": fw == base.framework,
                 "steps": int(result.states.shape[0]),
                 "ms_per_step": round(1e3 * result.wall_time_s
                                      / result.states.shape[0], 3),
@@ -64,7 +68,7 @@ def main():
             print(json.dumps(rows[-1]), flush=True)
 
     print("\n== summary ==")
-    hdr = ["config", "framework", "steps", "ms_per_step", "rmsd_x",
+    hdr = ["config", "framework", "native", "steps", "ms_per_step", "rmsd_x",
            "rmsd_y", "collision", "bad_status_steps"]
     print(" | ".join(hdr))
     for r in rows:

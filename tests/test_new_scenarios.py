@@ -126,3 +126,11 @@ def test_detour_noop_when_obstacle_clears_path():
     # endpoints pinned
     np.testing.assert_allclose(bent[0], path[0], atol=1e-9)
     np.testing.assert_allclose(bent[-1], path[-1], atol=1e-6)
+
+
+@needs_ref
+def test_tutorial_urban_all_steps_feasible():
+    """N=12 (warmup engaged) keeps the whole Urban run violation-free."""
+    c, res = _run("config_CA_ZAM_Tutorial_Urban-3_2.yaml")
+    assert (np.asarray(res.status) >= 0).all()
+    assert float(np.asarray(res.viol).max()) < 0.05

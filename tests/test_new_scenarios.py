@@ -13,7 +13,8 @@ here, exercising capabilities the original three never touch:
     selection — the reference's lanelets[0/1].right_vertices rule would
     call the lane divider a road edge).
   * USA_Peach-2_1_T-1 — 74-lanelet intersection network, ego starts at
-    rest, 105 steps.
+    rest; progress windowing + curvature speed profile re-time the route
+    to 215 steps.
 """
 import os
 

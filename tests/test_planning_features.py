@@ -102,3 +102,29 @@ def test_road_edges_zam_picks_far_edges():
     lids = sorted(s.lanelets)
     np.testing.assert_allclose(right, s.lanelets[lids[0]].right_vertices)
     np.testing.assert_allclose(left, s.lanelets[lids[1]].right_vertices)
+
+
+@needs_ref
+def test_progress_window_batch_vec_matches_single():
+    """The lanes-trailing batched loop carries per-lane progress bases;
+    identical lanes must reproduce the single-lane progress run."""
+    import dataclasses
+    import jax
+    from mpc_tpu.io.config import load_config
+    from mpc_tpu.planner import closed_loop as cl
+
+    c = load_config(os.path.join(REF, "test/config_files",
+                                 "config_LF_ZAM_Over-1_1.yaml"),
+                    os.path.join(REF, "scenarios"))
+    c = dataclasses.replace(c, progress_window=True)
+    lcfg = cl.make_loop_config(c, noised=False)
+    assert lcfg.progress_window
+    params = cl.make_loop_params(c, lcfg)
+    single = cl.closed_loop_jit(lcfg, params)
+    batched = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (2,) + x.shape), params)
+    vec = cl.closed_loop_batch_vec(lcfg, batched)
+    np.testing.assert_allclose(np.asarray(vec.X[0]), np.asarray(single.X),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(vec.X[0]), np.asarray(vec.X[1]))
+    assert (np.asarray(vec.status) >= 0).all()

@@ -135,3 +135,33 @@ def test_tutorial_urban_all_steps_feasible():
     c, res = _run("config_CA_ZAM_Tutorial_Urban-3_2.yaml")
     assert (np.asarray(res.status) >= 0).all()
     assert float(np.asarray(res.viol).max()) < 0.05
+
+
+def test_synthetic_curve_scenario_ships_clean():
+    """Shipped synthetic curved-road CA scenario (scenarios/SYN_Curve-1.xml).
+
+    Self-contained (no reference checkout): curvature 0.008 arc, static
+    obstacle at mid-arc, reference_detour + progress windowing + curvature
+    speed profile.  Every step must be feasible and the swept trajectory
+    collision-free.
+    """
+    from mpc_tpu.utils import native
+
+    c = load_config(os.path.join("configs", "config_CA_SYN_Curve-1.yaml"),
+                    "scenarios")
+    lcfg = cl.make_loop_config(c, noised=False)
+    params = cl.make_loop_params(c, lcfg)
+    res = cl.closed_loop_jit(lcfg, params)
+    status = np.asarray(res.status)
+    assert (status >= 0).all(), np.nonzero(status < 0)[0]
+    X = np.asarray(res.X)
+    ob = c.static_obstacle
+    hit = native.traj_obstacle_collision(
+        X, c.vehicle.l, c.vehicle.w,
+        (ob["position_x"], ob["position_y"]), ob["length"], ob["width"],
+        ob["orientation"])
+    assert hit == -1
+    # obstacle is ON the original centerline: the planner must actually
+    # have deviated around it, not sailed through a hole in the check
+    d_obs = np.hypot(X[:, 0] - ob["position_x"], X[:, 1] - ob["position_y"])
+    assert 2.0 < d_obs.min() < 8.0

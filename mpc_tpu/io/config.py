@@ -81,6 +81,12 @@ class PlanningConfig:
     # per-point desired-velocity profile matching reference_path rows; set
     # by the curvature speed planner (None => constant desired_velocity)
     v_profile: Optional[np.ndarray] = None
+    # free-form solver overrides from the YAML ``solver_settings:`` section
+    # (e.g. iteration budgets ``ip_sqp_iters``, ``lqr_backend``) — applied as
+    # defaults by ``closed_loop.make_loop_config``.  No reference analog
+    # (FORCESPRO bakes its budgets into codegen, optimizer.py:197-245).
+    solver_settings: Dict[str, object] = dataclasses.field(
+        default_factory=dict)
 
     def __post_init__(self):
         if self.dynamics_model not in ("ks", "st"):
@@ -305,20 +311,6 @@ def build_config(settings: Dict, scenario: Scenario,
     # shipped-but-unconfigured ZAM_Tutorial_Urban-3_2) is a symmetric
     # saddle for any local solver.  Hard constraints still enforce the
     # true clearance.
-    if (gps.get("reference_detour", False)
-            and use_case == "collision_avoidance"):
-        from mpc_tpu.models.constraints import approx_circle_radius
-        from mpc_tpu.utils.geometry import lateral_detour
-        r_obs, _ = approx_circle_radius(static_obstacle["length"],
-                                        static_obstacle["width"])
-        r_ego, _ = approx_circle_radius(vehicle.l, vehicle.w)
-        reference_path = lateral_detour(
-            reference_path,
-            np.array([static_obstacle["position_x"],
-                      static_obstacle["position_y"]]),
-            required_clearance=r_ego + r_obs + 0.5)
-        orientation = compute_orientation_from_polyline(reference_path)
-
     # road boundaries.  The reference hardcodes lanelets[1]/[0]
     # right_vertices (configuration.py:432-433) — correct only for its
     # two-lane ZAM road where lanelet 1 is the REVERSED oncoming lane (its
@@ -327,8 +319,31 @@ def build_config(settings: Dict, scenario: Scenario,
     # edge.  Generalized: among the route's lanelets and their immediate
     # neighbors, take the edge polylines with the extreme mean lateral
     # offsets from the reference path (leftmost / rightmost = road edges).
+    # (Computed before the detour pre-pass, which uses them to pick the
+    # side of the road with room for the swerve.)
     left_b, right_b = _road_edges(scenario, route.lanelet_ids,
                                   reference_path)
+
+    if (gps.get("reference_detour", False)
+            and use_case == "collision_avoidance"):
+        from mpc_tpu.models.constraints import approx_circle_radius
+        from mpc_tpu.utils.geometry import (detour_side_from_road,
+                                            lateral_detour)
+        r_obs, _ = approx_circle_radius(static_obstacle["length"],
+                                        static_obstacle["width"])
+        r_ego, _ = approx_circle_radius(vehicle.l, vehicle.w)
+        obs_pt = np.array([static_obstacle["position_x"],
+                           static_obstacle["position_y"]])
+        # road-aware side choice: detour into the side with room for the
+        # full swerve (e.g. the neighbor lane), not off the shoulder
+        side = detour_side_from_road(
+            np.asarray(reference_path, float), obs_pt, left_b, right_b,
+            required_clearance=r_ego + r_obs + 0.5,
+            half_width=0.5 * vehicle.w)
+        reference_path = lateral_detour(
+            reference_path, obs_pt,
+            required_clearance=r_ego + r_obs + 0.5, side=side)
+        orientation = compute_orientation_from_polyline(reference_path)
 
     return PlanningConfig(
         scenario_name=settings["scenario_settings"]["scenario_name"],
@@ -361,6 +376,7 @@ def build_config(settings: Dict, scenario: Scenario,
         curvature_speed_limit=bool(gps.get("curvature_speed_limit", False)),
         a_lat_max=float(gps.get("a_lat_max", 4.0)),
         v_profile=v_profile,
+        solver_settings=dict(settings.get("solver_settings") or {}),
     )
 
 

@@ -92,12 +92,28 @@ class SolverConfig:
     # (tests/test_closed_loop.py quality gates); widen for stiffer penalties
     alphas: Tuple[float, ...] = (1.0, 0.35, 0.12, 0.04, 0.012, 1e-3)
     tol_stat: float = 1e-4           # KKT stationarity tolerance (status)
+    tol_stat_ip: float = 1.0         # Lagrangian-stationarity tolerance for
+                                     # ip-mode status==1 (gradient of the
+                                     # dual-weighted Lagrangian; RTI takes a
+                                     # fixed QP budget, so the residual is
+                                     # honest-but-loose vs the AL path's
+                                     # merit-gradient tol_stat)
     tol_feas: float = 1e-4           # constraint violation tolerance (status)
     tol_infeas: float = 0.05         # violation above which a lane reports
                                      # status -7 (genuinely infeasible)
     lqr_backend: str = "scan"        # 'scan' (sequential Riccati) | 'pscan'
                                      # (log-depth associative scan; shard the
                                      # stage axis for long horizons)
+    stage_axis: str | None = None    # mesh axis name to shard the (H+1)
+                                     # stage axis over (horizon/stage
+                                     # parallelism, the sequence-parallel
+                                     # idiom of SURVEY.md §2.3): the QP
+                                     # stage blocks get a sharding
+                                     # constraint on this axis, so under a
+                                     # ('dp','sp') mesh the pscan combine
+                                     # steps become ICI collectives.
+                                     # Requires an ambient mesh context
+                                     # (``with mesh:``) at jit time.
     boundary_rows: bool = False      # enable road-boundary rows (the
                                      # reference ships these commented out,
                                      # optimizer.py:113-161)
@@ -114,6 +130,16 @@ class SolverConfig:
                                      # iterate back into the blocked lane
                                      # (seed-swept in tests/test_robustness)
     ip_iters: int = 10               # IP Newton steps per QP (ip mode)
+    ip_ls_rho: float = 300.0         # exact-penalty weight in the ip-mode
+                                     # line search (objective + rho * viol).
+                                     # Too large (1e3) accepts any
+                                     # feasibility gain regardless of cost:
+                                     # on the ZAM CA overtake the counter-
+                                     # steer overshoots ~1.2 m OFF the road
+                                     # (y 6.4 vs the golden's 4.2, left edge
+                                     # 5.4); at 300 the same run stays on
+                                     # the road, fully feasible, 1.5 m of
+                                     # the golden (round-2 rho sweep)
 
     def __post_init__(self):
         if self.horizon < 1:
@@ -441,6 +467,23 @@ def _linearize_dynamics(cfg: SolverConfig, X, U):
 # ---------------------------------------------------------------------------
 
 
+def _stage_constrain(cfg: SolverConfig, tree):
+    """Pin stage-leading arrays to the configured mesh axis (GSPMD hint).
+
+    Under ``vmap`` the lane axis is inserted unconstrained, so lanes keep
+    their 'dp' sharding from the inputs while stages spread over
+    ``cfg.stage_axis``."""
+    if cfg.stage_axis is None:
+        return tree
+    from jax.sharding import PartitionSpec as P
+
+    def c(x):
+        return jax.lax.with_sharding_constraint(
+            x, P(cfg.stage_axis, *([None] * (x.ndim - 1))))
+
+    return jax.tree.map(c, tree)
+
+
 def _gn_iteration(cfg: SolverConfig, params: OcpParams, lam_lo, lam_hi, mu,
                   X, U):
     """One Gauss-Newton step: build QP, Riccati sweep, parallel line search."""
@@ -448,6 +491,8 @@ def _gn_iteration(cfg: SolverConfig, params: OcpParams, lam_lo, lam_hi, mu,
     dyn = _linearize_dynamics(cfg, X, U)
     if cfg.lqr_backend == "pscan":
         from mpc_tpu.ops import pscan
+        quad = _stage_constrain(cfg, quad)
+        dyn = _stage_constrain(cfg, dyn)
         gains = pscan.backward_pass_pscan(quad, QH, qH, dyn, cfg.reg)
     else:
         gains = riccati.backward_pass(quad, QH, qH, dyn, cfg.reg)
@@ -511,8 +556,10 @@ def _solve_ip(cfg: SolverConfig, params: OcpParams,
 
     idx = jnp.arange(H + 1)
 
+    nr = nrows(cfg)
+
     def sqp_iter(carry, _):
-        X, U = carry
+        X, U, _, _ = carry
         A = jax.vmap(jax.jacfwd(step, argnums=0))(X[:-1], U)
         B = jax.vmap(jax.jacfwd(step, argnums=1))(X[:-1], U)
         defect = jax.vmap(step)(X[:-1], U) - X[1:]
@@ -547,7 +594,7 @@ def _solve_ip(cfg: SolverConfig, params: OcpParams,
         # overshoot under a full RTI step.  Candidates are evaluated on the
         # dynamics-consistent rollout of the clamped inputs.
         u_lo_, u_hi_, _, _ = cfg.bounds.as_arrays(dtype)
-        rho = jnp.asarray(1e3, dtype)
+        rho = jnp.asarray(cfg.ip_ls_rho, dtype)
 
         def try_alpha(a):
             Ua = jnp.clip(U + a * dU_dir, u_lo_, u_hi_)
@@ -566,10 +613,14 @@ def _solve_ip(cfg: SolverConfig, params: OcpParams,
         take = phis[best] < phi0
         X_new = jnp.where(take, Xs[best], X)
         U_new = jnp.where(take, Us[best], U)
-        return (X_new, U_new), None
+        # carry the QP's row duals: they estimate the NLP multipliers at the
+        # final iterate (IPOPT reports convergence on exactly this Lagrangian
+        # residual, reference optimizer.py:556-558)
+        return (X_new, U_new, st.z_lo, st.z_hi), None
 
-    (X, U), _ = jax.lax.scan(sqp_iter, (X, U), None,
-                             length=cfg.ip_sqp_iters)
+    z0 = jnp.zeros((H + 1, nr), dtype)
+    (X, U, z_lo, z_hi), _ = jax.lax.scan(sqp_iter, (X, U, z0, z0), None,
+                                         length=cfg.ip_sqp_iters)
 
     # final consistency rollout (closes multiple-shooting defects) + clamp
     u_lo, u_hi, _, _ = cfg.bounds.as_arrays(dtype)
@@ -580,13 +631,31 @@ def _solve_ip(cfg: SolverConfig, params: OcpParams,
     viol = jnp.maximum(jnp.maximum(lo - h, h - hi), 0.0)
     viol = jnp.where(jnp.isfinite(viol), viol, 0.0)
     viol_max = jnp.max(viol)
+
+    # Lagrangian stationarity with the final QP's row duals (lam = z_hi -
+    # z_lo): grad_U [ f(X(U), U) + sum lam . h(X(U), U) ], the same residual
+    # IPOPT's convergence test uses (optimizer.py:556-558) and the dual-
+    # feasibility half of FORCESPRO's exitflag contract (FORCESNLPsolver.h:
+    # 96-100).  Inactive rows carry ~0 duals, so the masked rows (infinite
+    # bounds) contribute nothing.
+    lam_rows = z_hi - z_lo
+
+    def lagrangian_of_U(Uf):
+        Xf = _rollout(cfg, params.x0, Uf)
+        hf, _, _ = _all_rows(cfg, Xf, Uf, params)
+        return (_objective(cfg, Xf, Uf, params)
+                + jnp.sum(lam_rows * jnp.where(jnp.isfinite(hf), hf, 0.0)))
+
+    stat = jnp.max(jnp.abs(jax.grad(lagrangian_of_U)(U)))
+
+    converged = (stat < cfg.tol_stat_ip) & (viol_max < cfg.tol_feas)
     feasible = viol_max < jnp.asarray(cfg.tol_infeas, dtype)
-    status = jnp.where(viol_max < cfg.tol_feas, 1,
+    status = jnp.where(converged, 1,
                        jnp.where(feasible, 0, -7)).astype(jnp.int32)
 
     new_state = state._replace(U=U, prev_viol=viol)
     return Solution(X=X, U=U, state=new_state, status=status,
-                    kkt_stat=jnp.asarray(0.0, dtype), viol=viol_max,
+                    kkt_stat=stat, viol=viol_max,
                     cost=_objective(cfg, X, U, params),
                     merit=_objective(cfg, X, U, params))
 

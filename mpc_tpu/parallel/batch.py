@@ -39,8 +39,10 @@ def _lane_specs(pytree):
 def _solve_sharded(cfg: sqp.SolverConfig, params, state, *, mesh: Mesh):
     lane = NamedSharding(mesh, P("dp"))
     f = jax.vmap(lambda p, s: sqp.solve(cfg, p, s))
-    out_sh = jax.tree.map(lambda _: lane, jax.eval_shape(f, params, state))
-    return jax.jit(f, out_shardings=out_sh)(params, state)
+    with mesh:  # resolve solver-internal stage_axis PartitionSpecs
+        out_sh = jax.tree.map(lambda _: lane,
+                              jax.eval_shape(f, params, state))
+        return jax.jit(f, out_shardings=out_sh)(params, state)
 
 
 def solve_batch_sharded(cfg: sqp.SolverConfig, params: sqp.OcpParams,
@@ -57,12 +59,19 @@ def solve_batch_sharded(cfg: sqp.SolverConfig, params: sqp.OcpParams,
 
 def closed_loop_batch_sharded(lcfg: cl.LoopConfig, params: cl.LoopParams,
                               mesh: Mesh) -> cl.LoopResult:
-    """Batch of full closed-loop rollouts, lanes sharded over dp."""
+    """Batch of full closed-loop rollouts, lanes sharded over dp.
+
+    When ``lcfg.solver.stage_axis`` names a second mesh axis (e.g. 'sp'),
+    the solver's Riccati stage blocks additionally shard over it (horizon/
+    stage parallelism) — the jit runs inside the mesh context so the
+    solver-internal ``PartitionSpec`` constraints resolve.
+    """
     params = mesh_mod.shard_lanes(params, mesh)
     f = jax.vmap(lambda p: cl.run_closed_loop(lcfg, p))
     lane = NamedSharding(mesh, P("dp"))
-    out_sh = jax.tree.map(lambda _: lane, jax.eval_shape(f, params))
-    return jax.jit(f, out_shardings=out_sh)(params)
+    with mesh:  # resolve solver-internal stage_axis PartitionSpecs
+        out_sh = jax.tree.map(lambda _: lane, jax.eval_shape(f, params))
+        return jax.jit(f, out_shardings=out_sh)(params)
 
 
 def summarize(solution: sqp.Solution, mesh: Mesh) -> BatchSummary:
@@ -90,6 +99,35 @@ def summarize(solution: sqp.Solution, mesh: Mesh) -> BatchSummary:
                   out_specs=(P(), P(), P(), P()))
     conv, infeas, mviol, mcost = f(solution.status, solution.viol,
                                    solution.cost)
+    return BatchSummary(n_converged=conv, n_infeasible=infeas,
+                        max_viol=mviol, mean_cost=mcost)
+
+
+def summarize_loop(result: cl.LoopResult, mesh: Mesh) -> BatchSummary:
+    """Mesh-wide reduction of a batched closed-loop run's diagnostics.
+
+    Counts converged/infeasible (lane, step) solves over all T steps of all
+    lanes via shard_map collectives on the 'dp' axis (same communication
+    pattern as :func:`summarize`, but for LoopResult's (B, T) fields).
+    """
+    spec = P("dp")
+
+    def reduce_fn(status, viol, cost):
+        conv = jnp.sum((status == 1).astype(jnp.int32))
+        infeas = jnp.sum((status < 0).astype(jnp.int32))
+        n = status.size
+        return (
+            jax.lax.psum(conv, "dp"),
+            jax.lax.psum(infeas, "dp"),
+            jax.lax.pmax(jnp.max(viol), "dp"),
+            jax.lax.psum(jnp.sum(cost), "dp")
+            / jax.lax.psum(jnp.asarray(n, cost.dtype), "dp"),
+        )
+
+    f = shard_map(reduce_fn, mesh=mesh,
+                  in_specs=(spec, spec, spec),
+                  out_specs=(P(), P(), P(), P()))
+    conv, infeas, mviol, mcost = f(result.status, result.viol, result.cost)
     return BatchSummary(n_converged=conv, n_infeasible=infeas,
                         max_viol=mviol, mean_cost=mcost)
 

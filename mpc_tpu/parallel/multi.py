@@ -66,10 +66,13 @@ def make_multi_scenario_batch(
             raise ValueError("mixed delta_t/wheelbase in batch")
         if getattr(c, "dynamics_model", "ks") != model:
             raise ValueError("mixed dynamics_model in batch")
-    if any(c.boundary_constraints for c in cfgs):
-        raise NotImplementedError(
-            "boundary rows are per-scenario polylines; batch them only when "
-            "all configs share a road (use single-scenario batching there)")
+    # heterogeneous boundary constraints: if ANY lane is boundary-
+    # constrained the whole batch compiles with boundary rows (fixed
+    # (2, NB, 2) polylines per lane); unconstrained lanes get far-away dummy
+    # polylines whose rows are trivially satisfied
+    any_boundary = any(c.boundary_constraints for c in cfgs)
+    if any_boundary:
+        solver_overrides.setdefault("boundary_rows", True)
 
     longest = max(cfgs, key=lambda c: c.iter_length)
     lcfg = cl.make_loop_config(longest, horizon=horizon, noised=noised,
@@ -94,9 +97,22 @@ def make_multi_scenario_batch(
     n_track = max(p.track.path.shape[0] for p in per_lane)
     per_lane = [p._replace(track=_pad_track(p.track, n_track))
                 for p in per_lane]
+    if any_boundary:
+        # dummy polylines for lanes whose config is NOT boundary-constrained
+        # — their problem is unchanged, the rows sit inactive at 1e6 m
+        dummy_b, dummy_s = cl.dummy_boundaries(dtype)
+        per_lane = [
+            p if c.boundary_constraints
+            else p._replace(boundaries=dummy_b, boundary_signs=dummy_s)
+            for c, p in zip(cfgs, per_lane)]
     if any(p.obs_track is not None for p in per_lane):
-        raise NotImplementedError(
-            "moving-obstacle tracks are not stackable yet (pad lengths)")
+        # static lanes ride the moving-obstacle path with a constant track
+        need = lcfg.n_steps + lcfg.solver.horizon + 2
+        per_lane = [
+            p if p.obs_track is not None
+            else p._replace(obs_track=jnp.broadcast_to(
+                p.obs_centers[None], (need,) + p.obs_centers.shape))
+            for p in per_lane]
 
     def stack(*leaves):
         if leaves[0] is None:

@@ -102,6 +102,10 @@ def make_loop_config(cfg: PlanningConfig,
     horizon convention, and constraint algebra.
     """
     mode = cfg.framework
+    # YAML-level solver overrides (iteration budgets, lqr_backend, ...)
+    # lose to explicit kwargs, win over the mode defaults below
+    for k, v in (getattr(cfg, "solver_settings", None) or {}).items():
+        solver_overrides.setdefault(k, v)
     N = int(horizon if horizon is not None else cfg.predict_horizon)
     if mode == "forcespro":
         H = max(N - 1, 1)
@@ -168,17 +172,36 @@ def make_loop_config(cfg: PlanningConfig,
 _BOUNDARY_POINTS = 128  # fixed boundary polyline resampling (static shape)
 
 
+def dummy_boundaries(dtype):
+    """Far-away boundary pair whose rows are trivially satisfied.
+
+    Real line SEGMENTS (not repeated points): a degenerate all-equal-point
+    polyline has zero-length segments, whose cross-product sign — and hence
+    the signed distance — collapses to 0, violating the ``lo = r_ego`` row
+    bound everywhere.  These lines sit +-1e6 m out, directed so the signed
+    distance is positive (inside) from anywhere near the origin, with
+    boundary signs +1.
+    """
+    xs = np.linspace(1e6, -1e6, _BOUNDARY_POINTS)
+    left = np.stack([xs, np.full(_BOUNDARY_POINTS, 1e6)], 1)
+    right = np.stack([-xs, np.full(_BOUNDARY_POINTS, -1e6)], 1)
+    return (jnp.asarray(np.stack([left, right]), dtype),
+            jnp.ones((2,), dtype))
+
+
 def _prepare_boundaries(cfg: PlanningConfig, dtype):
     """Resample both boundaries to (2, NB, 2) + inside-positive signs."""
     from mpc_tpu.utils.geometry import (compute_polyline_length,
                                         resample_polyline)
     import numpy as np
 
+    dummy_b, dummy_s = dummy_boundaries(dtype)
     out = []
-    for b in (cfg.left_road_boundary, cfg.right_road_boundary):
+    forced_sign = []
+    for i, b in enumerate((cfg.left_road_boundary, cfg.right_road_boundary)):
         if b is None or len(b) < 2:
-            # far-away dummy: rows trivially satisfied
-            out.append(np.full((_BOUNDARY_POINTS, 2), 1e6))
+            out.append(np.asarray(dummy_b[i]))
+            forced_sign.append(1.0)
             continue
         L = compute_polyline_length(np.asarray(b, float))
         step = max(L / (_BOUNDARY_POINTS - 1), 1e-3)
@@ -187,13 +210,17 @@ def _prepare_boundaries(cfg: PlanningConfig, dtype):
             rs = np.concatenate(
                 [rs, np.repeat(rs[-1:], _BOUNDARY_POINTS - len(rs), axis=0)])
         out.append(rs)
+        forced_sign.append(None)
     arr = np.stack(out)
     # calibrate signs with a known inside point (reference path midpoint)
     import jax.numpy as jnp2
     from mpc_tpu.models.constraints import signed_distance_to_polyline
     inside = cfg.reference_path[len(cfg.reference_path) // 2]
     signs = []
-    for b in arr:
+    for b, forced in zip(arr, forced_sign):
+        if forced is not None:
+            signs.append(forced)
+            continue
         d = float(signed_distance_to_polyline(
             jnp2.asarray(inside, dtype), jnp2.asarray(b, dtype)))
         signs.append(1.0 if d >= 0 else -1.0)
@@ -284,6 +311,33 @@ def _shift_state(st: sqp.SqpState) -> sqp.SqpState:
                         prev_viol=_shift(st.prev_viol))
 
 
+def cold_start_state(lcfg: LoopConfig, params: LoopParams) -> sqp.SqpState:
+    """Initial warm-start state: cold init + the configured warm-up solves.
+
+    Shared by the full-loop, chunked (checkpoint/resume), and per-step-timed
+    paths so they all start the receding horizon from the same iterate.
+    """
+    scfg = lcfg.solver
+    dtype = params.x_init.dtype
+    init_u = jnp.zeros((scfg.horizon, 2), dtype)
+    init_state = sqp.init_state(scfg, init_u, dtype)
+    wcfg = _warmup_cfg(lcfg)
+    for i in range(lcfg.cold_start_solves):
+        x_ref0 = ref_mod.window(params.track, jnp.asarray(0), scfg.horizon,
+                                lcfg.mode, x0=params.x_init[..., :dyn_mod.NX])
+        obs0 = params.obs_centers
+        if i == 0 and lcfg.warmup_obstacle_free:
+            obs0 = jnp.full_like(obs0, -1e4)  # rows trivially satisfied
+        ocp0 = sqp.OcpParams(x0=params.x_init, x_ref=x_ref0,
+                             obs_centers=obs0,
+                             min_dist=params.min_dist,
+                             weights=params.weights,
+                             boundaries=params.boundaries,
+                             boundary_signs=params.boundary_signs)
+        init_state = sqp.solve(wcfg, ocp0, init_state).state
+    return init_state
+
+
 def run_closed_loop(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
     """Full closed-loop rollout for one lane (traced; jit via closed_loop_jit).
 
@@ -328,23 +382,7 @@ def run_closed_loop(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
         out = (x, u_apply, sol.status, sol.viol, sol.cost)
         return (x_next, warm, key, jnp.asarray(base, jnp.int32)), out
 
-    dtype = params.x_init.dtype
-    init_u = jnp.zeros((scfg.horizon, 2), dtype)
-    init_state = sqp.init_state(scfg, init_u, dtype)
-    wcfg = _warmup_cfg(lcfg)
-    for i in range(lcfg.cold_start_solves):
-        x_ref0 = ref_mod.window(params.track, jnp.asarray(0), scfg.horizon,
-                                lcfg.mode, x0=params.x_init[..., :dyn_mod.NX])
-        obs0 = params.obs_centers
-        if i == 0 and lcfg.warmup_obstacle_free:
-            obs0 = jnp.full_like(obs0, -1e4)  # rows trivially satisfied
-        ocp0 = sqp.OcpParams(x0=params.x_init, x_ref=x_ref0,
-                             obs_centers=obs0,
-                             min_dist=params.min_dist,
-                             weights=params.weights,
-                             boundaries=params.boundaries,
-                             boundary_signs=params.boundary_signs)
-        init_state = sqp.solve(wcfg, ocp0, init_state).state
+    init_state = cold_start_state(lcfg, params)
     carry0 = (params.x_init, init_state, params.noise_key,
               jnp.asarray(0, jnp.int32))
     _, (X, U, status, viol, cost) = jax.lax.scan(
@@ -407,10 +445,9 @@ def closed_loop_chunk(lcfg: LoopConfig, params: LoopParams, carry,
 
 
 def init_carry(lcfg: LoopConfig, params: LoopParams):
-    """Initial chunk carry (step 0, cold-started warm state)."""
-    dtype = params.x_init.dtype
-    state = sqp.init_state(lcfg.solver, jnp.zeros((lcfg.solver.horizon, 2),
-                                                  dtype), dtype)
+    """Initial chunk carry (step 0, including any configured warm-up solves
+    — matches ``run_closed_loop``'s starting iterate exactly)."""
+    state = jax.jit(cold_start_state, static_argnums=0)(lcfg, params)
     return (jnp.asarray(0, jnp.int32), params.x_init, state,
             params.noise_key, jnp.asarray(0, jnp.int32))
 

@@ -14,6 +14,7 @@ import os
 import time
 from typing import Dict, Optional
 
+import jax
 import numpy as np
 
 from mpc_tpu.io.config import PlanningConfig
@@ -26,7 +27,11 @@ from mpc_tpu.utils import native
 class PlanResult:
     states: np.ndarray        # (T, 5)
     inputs: np.ndarray        # (T, 2)
-    solve_time: np.ndarray    # (T,) seconds (amortized device time per step)
+    solve_time: np.ndarray    # (T,) seconds: measured per step (host-timed
+                              # warm solve incl. dispatch, the reference's
+                              # semantics at optimizer.py:603-608), or the
+                              # amortized wall/T fill when plan() ran the
+                              # single fused scan (per_step_timing=False)
     status: np.ndarray        # (T,)
     rmsd: Optional[Dict[str, float]]
     deviation: np.ndarray     # (T,)
@@ -49,26 +54,55 @@ class MPCPlanner:
         self.loop_params = cl.make_loop_params(config, self.loop_config,
                                                seed=seed)
 
-    def plan(self) -> PlanResult:
+    def plan(self, per_step_timing: bool = True) -> PlanResult:
         """Run the closed loop once and assemble metrics.
 
         Mirrors ``MPCPlanner.plan`` (``mpc_planner.py:294-314``) minus the
         rendering side effects (see ``mpc_tpu.utils.viz``).
+
+        With ``per_step_timing`` (default) the loop runs step-by-step through
+        the compiled single-step program and each row of ``solve_time`` is
+        that step's measured warm-solve wall time — the reference's
+        measurement semantics (``optimizer.py:603-608``, ``mpc_planner.py:
+        233-247``).  With ``per_step_timing=False`` the whole loop runs as
+        one fused on-device scan (faster end-to-end; per-step rows are the
+        amortized fill).
         """
         cfg = self.config
-        # warm-up compile excluded from the timed run, mirroring how the
-        # reference times only solver work (optimizer.py:603-608)
-        res = cl.closed_loop_jit(self.loop_config, self.loop_params)
-        res.X.block_until_ready()
-        t0 = time.perf_counter()
-        res = cl.closed_loop_jit(self.loop_config, self.loop_params)
-        res.X.block_until_ready()
-        wall = time.perf_counter() - t0
+        if per_step_timing:
+            lcfg, params = self.loop_config, self.loop_params
+            T = lcfg.n_steps
+            # compile both programs off the clock, mirroring how the
+            # reference times only solver work (optimizer.py:603-608)
+            carry = cl.init_carry(lcfg, params)
+            jax.block_until_ready(
+                cl.closed_loop_chunk(lcfg, params, carry, 1))
+            carry = cl.init_carry(lcfg, params)
+            step_times, outs = [], []
+            t_all = time.perf_counter()
+            for _ in range(T):
+                t0 = time.perf_counter()
+                carry, out = cl.closed_loop_chunk(lcfg, params, carry, 1)
+                jax.block_until_ready(out)
+                step_times.append(time.perf_counter() - t0)
+                outs.append(out)
+            wall = time.perf_counter() - t_all
+            res = cl.LoopResult(*[
+                np.concatenate([np.asarray(getattr(o, f)) for o in outs])
+                for f in cl.LoopResult._fields])
+            solve_time = np.asarray(step_times)
+        else:
+            res = cl.closed_loop_jit(self.loop_config, self.loop_params)
+            jax.block_until_ready(res.X)
+            t0 = time.perf_counter()
+            res = cl.closed_loop_jit(self.loop_config, self.loop_params)
+            jax.block_until_ready(res.X)
+            wall = time.perf_counter() - t0
+            solve_time = np.full(self.loop_config.n_steps,
+                                 wall / self.loop_config.n_steps)
 
         X = np.asarray(res.X, dtype=float)
         U = np.asarray(res.U, dtype=float)
-        T = X.shape[0]
-        solve_time = np.full(T, wall / T)
 
         rmsd = None
         if cfg.use_case == "lane_following":

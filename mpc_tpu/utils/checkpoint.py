@@ -4,6 +4,12 @@ The reference has NO checkpointing (SURVEY.md §5: the only state carried
 across steps is the warm start).  For pod-scale batch runs this module
 snapshots the closed-loop carry (plant states, warm-start solver state, PRNG
 keys, step index) so a preempted run resumes exactly.
+
+Sharding-aware: sharded ``jax.Array``s are handed to orbax's
+``StandardCheckpointer`` as-is — each host writes its own shards (no
+device_get funnel through one host) — and ``restore_checkpoint`` restores
+them with the shardings of the ``like`` pytree, so a resumed run starts
+already distributed.
 """
 from __future__ import annotations
 
@@ -21,12 +27,17 @@ except Exception:  # pragma: no cover - orbax is in the image, but be safe
 
 
 def save_checkpoint(path: str, state: Any, step: int) -> str:
-    """Snapshot a pytree (e.g. batched SqpState + plant states) at ``step``."""
+    """Snapshot a pytree (e.g. batched SqpState + plant states) at ``step``.
+
+    Sharded arrays are saved distributed (orbax handles per-shard IO); no
+    host gather happens on this path.
+    """
     path = os.path.abspath(path)
     if _HAVE_ORBAX:
-        ckptr = ocp.PyTreeCheckpointer()
+        ckptr = ocp.StandardCheckpointer()
         target = os.path.join(path, f"step_{step:08d}")
-        ckptr.save(target, jax.device_get(state), force=True)
+        ckptr.save(target, state, force=True)
+        ckptr.wait_until_finished()
         return target
     # numpy fallback
     os.makedirs(path, exist_ok=True)
@@ -47,9 +58,19 @@ def latest_step(path: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def _abstract_like(like: Any):
+    """Abstract restore target carrying shape/dtype AND sharding."""
+    def one(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=x.sharding)
+        return x
+    return jax.tree.map(one, like)
+
+
 def restore_checkpoint(path: str, like: Any, step: Optional[int] = None
                        ) -> Any:
-    """Restore a pytree with the structure/shapes of ``like``."""
+    """Restore a pytree with the structure/shapes/SHARDINGS of ``like``."""
     if step is None:
         step = latest_step(path)
         if step is None:
@@ -57,8 +78,8 @@ def restore_checkpoint(path: str, like: Any, step: Optional[int] = None
     if _HAVE_ORBAX:
         target = os.path.join(os.path.abspath(path), f"step_{step:08d}")
         if os.path.isdir(target):
-            ckptr = ocp.PyTreeCheckpointer()
-            return ckptr.restore(target, item=jax.device_get(like))
+            ckptr = ocp.StandardCheckpointer()
+            return ckptr.restore(target, _abstract_like(like))
     target = os.path.join(path, f"step_{step:08d}.npz")
     data = np.load(target)
     leaves, treedef = jax.tree.flatten(like)

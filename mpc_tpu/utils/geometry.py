@@ -131,6 +131,47 @@ def arclength_projection_jnp(path_points: jnp.ndarray,
     return s[idx] + t[idx] * seg_len[idx]
 
 
+def point_polyline_distance(point: np.ndarray, poly: np.ndarray) -> float:
+    """Unsigned min distance from ``point`` (2,) to polyline segments."""
+    a = poly[:-1]
+    b = poly[1:]
+    ab = b - a
+    ab2 = np.maximum(np.sum(ab * ab, axis=1), 1e-12)
+    t = np.clip(np.sum((point - a) * ab, axis=1) / ab2, 0.0, 1.0)
+    proj = a + t[:, None] * ab
+    return float(np.sqrt(np.min(np.sum((proj - point) ** 2, axis=1))))
+
+
+def detour_side_from_road(path: np.ndarray, obstacle: np.ndarray,
+                          left_boundary, right_boundary,
+                          required_clearance: float,
+                          half_width: float) -> float | None:
+    """Pick the detour side with enough road: +1 (left) / -1 (right).
+
+    Measures the free room from the path point nearest the obstacle to
+    each road edge; prefers a side that fits the full swerve
+    (clearance + vehicle half-width), else the roomier side.  Returns None
+    when edges are unavailable (caller falls back to the obstacle-offset
+    heuristic).
+    """
+    if left_boundary is None or right_boundary is None:
+        return None
+    lb = np.asarray(left_boundary, float)
+    rb = np.asarray(right_boundary, float)
+    if len(lb) < 2 or len(rb) < 2:
+        return None
+    i0 = find_closest_point(path, obstacle)
+    p = path[i0]
+    room_left = point_polyline_distance(p, lb)
+    room_right = point_polyline_distance(p, rb)
+    need = required_clearance + half_width + 0.2
+    if room_left >= need and room_left >= room_right:
+        return 1.0
+    if room_right >= need:
+        return -1.0
+    return 1.0 if room_left >= room_right else -1.0
+
+
 def lateral_detour(polyline: np.ndarray, obstacle: np.ndarray,
                    required_clearance: float, side: float | None = None,
                    entry: float = 25.0, exit_dist: float = 15.0

@@ -10,22 +10,21 @@ from mpc_tpu.utils import checkpoint as ck
 from mpc_tpu.utils import compare
 from mpc_tpu.utils import synthetic
 
-REF = "/root/reference"
+from asset_paths import GOLD  # noqa: F401
 
 
 def test_chunked_loop_matches_full():
+    """init_carry performs the SAME cold-start warm-up as run_closed_loop
+    (shared cold_start_state), so chunked == full including warm-up solves."""
     lcfg, params = synthetic.make_bench_loop(n_steps=8, horizon=10, n_lanes=1)
+    assert lcfg.cold_start_solves > 0  # the parity being tested
     one = jax.tree.map(lambda x: x[0], params)
     full = cl.closed_loop_jit(lcfg, one)
     carry = cl.init_carry(lcfg, one)
-    # cold-start refinement parity: run_closed_loop does extra warm-up solves
-    import dataclasses
-    lcfg0 = dataclasses.replace(lcfg, cold_start_solves=0)
-    full0 = cl.closed_loop_jit(lcfg0, one)
-    carry, r1 = cl.closed_loop_chunk(lcfg0, one, carry, 3)
-    carry, r2 = cl.closed_loop_chunk(lcfg0, one, carry, 5)
+    carry, r1 = cl.closed_loop_chunk(lcfg, one, carry, 3)
+    carry, r2 = cl.closed_loop_chunk(lcfg, one, carry, 5)
     X_chunked = np.concatenate([np.asarray(r1.X), np.asarray(r2.X)])
-    np.testing.assert_allclose(X_chunked, np.asarray(full0.X), atol=1e-5)
+    np.testing.assert_allclose(X_chunked, np.asarray(full.X), atol=1e-5)
 
 
 def test_checkpoint_roundtrip(tmp_path):
@@ -50,6 +49,30 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(rfull.X), atol=1e-5)
 
 
+def test_checkpoint_sharded_roundtrip(tmp_path):
+    """Sharded arrays checkpoint WITHOUT a host gather and restore with
+    their shardings intact (orbax StandardCheckpointer path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mpc_tpu.parallel import mesh as pm
+
+    if not ck._HAVE_ORBAX:
+        pytest.skip("orbax not available")
+    n = min(len(jax.devices()), 8)
+    mesh = pm.make_mesh((n // 2, 2), devices=jax.devices()[:n])
+    sh = NamedSharding(mesh, P("dp"))
+    state = {
+        "U": jax.device_put(jax.numpy.arange(n * 12, dtype=jax.numpy.float32
+                                             ).reshape(n, 4, 3), sh),
+        "step": jax.numpy.asarray(7, jax.numpy.int32),
+    }
+    ck.save_checkpoint(str(tmp_path), state, 7)
+    restored = ck.restore_checkpoint(str(tmp_path), state)
+    np.testing.assert_array_equal(np.asarray(restored["U"]),
+                                  np.asarray(state["U"]))
+    assert restored["U"].sharding.is_equivalent_to(sh, state["U"].ndim)
+    assert int(restored["step"]) == 7
+
+
 def test_compare_tooling(tmp_path):
     d1 = tmp_path / "a"
     d2 = tmp_path / "b"
@@ -65,12 +88,11 @@ def test_compare_tooling(tmp_path):
     assert os.path.exists(png)
 
 
-@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference checkout")
 def test_compare_against_reference_artifacts():
     dirs = {
-        "ref-casadi": f"{REF}/test/2D_plots_casadi_ZAM_Over-1_1_lane_following",
+        "ref-casadi": os.path.join(GOLD, "2D_plots_casadi_ZAM_Over-1_1_lane_following"),
         "ref-forcespro":
-            f"{REF}/test/2D_plots_forcespro_ZAM_Over-1_1_lane_following",
+            os.path.join(GOLD, "2D_plots_forcespro_ZAM_Over-1_1_lane_following"),
     }
     stats = compare.compare_solve_times(dirs)
     # sanity vs SURVEY.md §6 numbers

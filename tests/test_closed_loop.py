@@ -12,13 +12,7 @@ import pytest
 from mpc_tpu.io.config import load_config
 from mpc_tpu.planner import closed_loop as cl
 
-REF = "/root/reference"
-CFG = os.path.join(REF, "test/config_files")
-SCN = os.path.join(REF, "scenarios")
-GOLD = os.path.join(REF, "test")
-
-needs_ref = pytest.mark.skipif(not os.path.isdir(REF),
-                               reason="reference checkout not available")
+from asset_paths import CFG, GOLD, SCN  # noqa: F401
 
 
 def _run(config_name):
@@ -33,7 +27,6 @@ def _golden(dirname):
     return np.loadtxt(os.path.join(GOLD, dirname, "planned states.txt"))
 
 
-@needs_ref
 def test_zam_lf_casadi_parity():
     c, res = _run("config_LF_ZAM_Over-1_1.yaml")
     X = np.asarray(res.X)
@@ -52,7 +45,6 @@ def test_zam_lf_casadi_parity():
     assert float(np.asarray(res.viol).max()) < 1e-2
 
 
-@needs_ref
 def test_zam_ca_casadi_parity():
     c, res = _run("config_CA_ZAM_Over-1_1.yaml")
     X = np.asarray(res.X)
@@ -67,7 +59,6 @@ def test_zam_ca_casadi_parity():
     assert (np.asarray(res.status) >= 0).all()
 
 
-@needs_ref
 def test_usa_lf_casadi_parity():
     c, res = _run("config_LF_USA_Lanker-2_18_T-1.yaml")
     X = np.asarray(res.X)
@@ -83,7 +74,6 @@ def test_usa_lf_casadi_parity():
     assert (np.asarray(res.status) >= 0).all()
 
 
-@needs_ref
 def test_zam_lf_forcespro_mode():
     """FORCESPRO-parity mode (RK4 plant, ramped v_des, terminal cost)."""
     c = load_config(os.path.join(CFG, "config_LF_ZAM_Over-1_1.yaml"), SCN)
@@ -102,7 +92,52 @@ def test_zam_lf_forcespro_mode():
     assert (np.asarray(res.status) >= 0).all()
 
 
-@needs_ref
+def test_zam_ca_forcespro_parity():
+    """FORCESPRO CA at the reference's exact operating point (N=10,
+    forcespro CA weight set — the commented block in the reference's
+    config_CA_ZAM_Over-1_1.yaml) vs its committed golden."""
+    c, res = _run("config_CA_ZAM_Over-1_1_forcespro_ref.yaml")
+    X = np.asarray(res.X)
+    g = _golden("2D_plots_forcespro_ZAM_Over-1_1_collision_avoidance")
+    assert X.shape == g.shape == (30, 5)
+    dev = np.abs(X - g).max(axis=0)
+    # noised golden + different inner solver (BFGS-SQP vs IP-RTI): our
+    # deterministic run brakes earlier and swerves wider mid-overtake, so
+    # the pointwise bands are loose; the hard guarantees (clearance,
+    # feasibility) are asserted tight below
+    assert dev[1] < 3.5   # lateral: stays within the road's width of golden
+    assert np.abs(X[-1] - g[-1])[:2].max() < 2.0  # reconverges by the end
+    obs = np.array([c.static_obstacle["position_x"],
+                    c.static_obstacle["position_y"]])
+    dmin = np.min(np.linalg.norm(X[:, :2] - obs, axis=1))
+    assert dmin > 3.3     # golden clears by 3.95
+    assert (np.asarray(res.status) >= 0).all()  # every step feasible
+    assert float(np.asarray(res.viol).max()) < 0.05
+
+
+def test_usa_lf_forcespro_parity():
+    """FORCESPRO LF on the urban curved scenario vs its committed golden
+    (70 steps; golden RMSD 0.48/0.60 m at noised sigma=0.1)."""
+    c = load_config(os.path.join(CFG, "config_LF_USA_Lanker-2_18_T-1.yaml"),
+                    SCN)
+    c = type(c)(**{**c.__dict__, "framework": "forcespro"})
+    lcfg = cl.make_loop_config(c, noised=False)
+    params = cl.make_loop_params(c, lcfg)
+    res = cl.closed_loop_jit(lcfg, params)
+    X = np.asarray(res.X)
+    g = _golden("2D_plots_forcespro_USA_Lanker-2_18_T-1_lane_following")
+    assert X.shape == g.shape == (70, 5)
+    dev = np.abs(X - g).max(axis=0)
+    assert dev[0] < 2.0 and dev[1] < 2.0  # position vs noised golden
+    ref = c.reference_path
+    rmsd_x = np.sqrt(np.sum((ref[:, 0] - X[:, 0]) ** 2) / (len(X) - 1))
+    rmsd_y = np.sqrt(np.sum((ref[:, 1] - X[:, 1]) ** 2) / (len(X) - 1))
+    # golden RMSD: 0.4813 / 0.6010 (with noise); deterministic must not be
+    # materially worse
+    assert rmsd_x < 0.7 and rmsd_y < 0.8
+    assert (np.asarray(res.status) >= 0).all()
+
+
 def test_noise_reproducibility():
     c = load_config(os.path.join(CFG, "config_LF_ZAM_Over-1_1.yaml"), SCN)
     lcfg = cl.make_loop_config(c, noised=True)
@@ -117,13 +152,12 @@ def test_noise_reproducibility():
     assert np.abs(np.asarray(r1.X) - np.asarray(r3.X)).max() > 1e-4
 
 
-@needs_ref
 def test_boundary_constraints_keep_vehicle_on_road():
     """Optional road-boundary rows (reference ships them commented out,
     optimizer.py:113-161): the forcespro-mode CA overtake must stay inside
     the road with them enabled."""
     from mpc_tpu.utils import native
-    c = load_config("configs/config_CA_ZAM_Over-1_1_forcespro.yaml", SCN)
+    c = load_config(os.path.join(CFG, "config_CA_ZAM_Over-1_1_forcespro.yaml"), SCN)
     assert c.boundary_constraints
     lcfg = cl.make_loop_config(c, noised=False)
     assert lcfg.solver.boundary_rows
@@ -142,13 +176,15 @@ def test_boundary_constraints_keep_vehicle_on_road():
     assert np.min(np.linalg.norm(X[:, :2] - obs, axis=1)) > 3.2
 
 
-@needs_ref
-@pytest.mark.parametrize("config_name,tag", [
-    ("config_LF_ZAM_Over-1_1.yaml", "zam_lf_casadi"),
-    ("config_CA_ZAM_Over-1_1.yaml", "zam_ca_casadi"),
-    ("config_LF_USA_Lanker-2_18_T-1.yaml", "usa_lf_casadi"),
+@pytest.mark.parametrize("config_name,tag,framework", [
+    ("config_LF_ZAM_Over-1_1.yaml", "zam_lf_casadi", None),
+    ("config_CA_ZAM_Over-1_1.yaml", "zam_ca_casadi", None),
+    ("config_LF_USA_Lanker-2_18_T-1.yaml", "usa_lf_casadi", None),
+    ("config_LF_ZAM_Over-1_1.yaml", "zam_lf_forcespro", "forcespro"),
+    ("config_CA_ZAM_Over-1_1_forcespro_ref.yaml", "zam_ca_forcespro", None),
+    ("config_LF_USA_Lanker-2_18_T-1.yaml", "usa_lf_forcespro", "forcespro"),
 ])
-def test_deterministic_regression_goldens(config_name, tag):
+def test_deterministic_regression_goldens(config_name, tag, framework):
     """Our own committed deterministic goldens: catches behavior drift that
     the (noisy) reference-golden tolerance bands would miss.
 
@@ -163,6 +199,8 @@ def test_deterministic_regression_goldens(config_name, tag):
     golden = np.loadtxt(os.path.join(here, "goldens", f"{tag}_states.txt"))
     with jax.enable_x64(True):
         c = load_config(os.path.join(CFG, config_name), SCN)
+        if framework is not None:
+            c = type(c)(**{**c.__dict__, "framework": framework})
         lcfg = cl.make_loop_config(c, noised=False)
         params = cl.make_loop_params(c, lcfg, dtype=jnp.float64)
         res = cl.closed_loop_jit(lcfg, params)

@@ -10,14 +10,10 @@ from mpc_tpu.io.config import (build_config, clip_reference_path,
                                derive_desired_velocity, load_config,
                                load_settings)
 
-REF = "/root/reference"
-needs_ref = pytest.mark.skipif(not os.path.isdir(REF),
-                               reason="reference checkout not available")
+from asset_paths import CFG, GOLD, SCN  # noqa: F401
 
-
-@needs_ref
 def test_parse_zam_scenario():
-    s = load_scenario(f"{REF}/scenarios/ZAM_Over-1_1.xml")
+    s = load_scenario(os.path.join(SCN, "ZAM_Over-1_1.xml"))
     assert s.dt == 0.1
     assert set(s.lanelets) == {1000, 1001}
     assert len(s.obstacles) == 1
@@ -34,9 +30,8 @@ def test_parse_zam_scenario():
     assert pp.goal.time_end == 30
 
 
-@needs_ref
 def test_parse_usa_scenario():
-    s = load_scenario(f"{REF}/scenarios/USA_Lanker-2_18_T-1.xml")
+    s = load_scenario(os.path.join(SCN, "USA_Lanker-2_18_T-1.xml"))
     assert len(s.lanelets) == 112
     pp = s.planning_problems[0]
     assert pp.id == 21007
@@ -47,9 +42,8 @@ def test_parse_usa_scenario():
     assert s.find_lanelets_by_position(np.array([0.0, 0.0])) == [3672]
 
 
-@needs_ref
 def test_route_zam_single_lanelet():
-    s = load_scenario(f"{REF}/scenarios/ZAM_Over-1_1.xml")
+    s = load_scenario(os.path.join(SCN, "ZAM_Over-1_1.xml"))
     pp = s.planning_problems[0]
     r = plan_route(s, pp.initial_position, pp.goal.position_center,
                    pp.goal.position_lanelets)
@@ -63,9 +57,8 @@ def test_route_zam_single_lanelet():
     assert d_init < 1.0 and d_goal < 1.0
 
 
-@needs_ref
 def test_route_usa_lane_changes():
-    s = load_scenario(f"{REF}/scenarios/USA_Lanker-2_18_T-1.xml")
+    s = load_scenario(os.path.join(SCN, "USA_Lanker-2_18_T-1.xml"))
     pp = s.planning_problems[0]
     r = plan_route(s, pp.initial_position, None, pp.goal.position_lanelets)
     assert r.lanelet_ids[0] == 3672
@@ -78,7 +71,7 @@ def test_route_usa_lane_changes():
 
 
 def test_shortest_route_unreachable():
-    s = load_scenario(f"{REF}/scenarios/ZAM_Over-1_1.xml")
+    s = load_scenario(os.path.join(SCN, "ZAM_Over-1_1.xml"))
     with pytest.raises(ValueError, match="No route"):
         shortest_route(s, 1000, [999999])
 
@@ -106,24 +99,22 @@ def test_desired_velocity_round_up():
     assert v2 == 10.0  # exact
 
 
-@needs_ref
 def test_config_iter_lengths_match_goldens():
-    c = load_config(f"{REF}/test/config_files/config_LF_ZAM_Over-1_1.yaml",
-                    f"{REF}/scenarios")
+    c = load_config(os.path.join(CFG, "config_LF_ZAM_Over-1_1.yaml"),
+                    SCN)
     assert c.iter_length == 30  # golden planned states.txt has 30 rows
     assert abs(c.desired_velocity - 20.0) < 0.1
     cu = load_config(
-        f"{REF}/test/config_files/config_LF_USA_Lanker-2_18_T-1.yaml",
-        f"{REF}/scenarios")
+        os.path.join(CFG, "config_LF_USA_Lanker-2_18_T-1.yaml"),
+        SCN)
     assert cu.iter_length == 70
     assert cu.framework == "casadi" and cu.use_case == "lane_following"
 
 
-@needs_ref
 def test_config_validation():
     settings = load_settings(
-        f"{REF}/test/config_files/config_LF_ZAM_Over-1_1.yaml")
-    s = load_scenario(f"{REF}/scenarios/ZAM_Over-1_1_LF.xml")
+        os.path.join(CFG, "config_LF_ZAM_Over-1_1.yaml"))
+    s = load_scenario(os.path.join(SCN, "ZAM_Over-1_1_LF.xml"))
     settings["general_planning_settings"]["framework_name"] = "ipopt"
     with pytest.raises(ValueError, match="framework"):
         build_config(settings, s)
@@ -155,13 +146,12 @@ def test_synthetic_scenario_generator(tmp_path):
     assert r.lanelet_ids[0] in (1000, 1001)
 
 
-@needs_ref
 def test_parse_every_shipped_scenario():
     """All six reference XMLs parse (incl. the unconfigured ones —
     USA_Peach, ZAM_Tutorial*; SURVEY.md §2.1 scenario row)."""
     import glob
 
-    files = sorted(glob.glob(os.path.join(REF, "scenarios", "*.xml")))
+    files = sorted(glob.glob(os.path.join(SCN, "*.xml")))
     assert len(files) >= 6
     for f in files:
         s = load_scenario(f)

@@ -155,3 +155,34 @@ def test_ip_batched_vmap():
         st_i = ipqp.solve_qp(q, n_iters=15)
         np.testing.assert_allclose(np.asarray(sts.dU[i]),
                                    np.asarray(st_i.dU), rtol=1e-4, atol=1e-4)
+
+
+def test_ip_mode_status_semantics_match_al():
+    """IP-mode kkt_stat is a real Lagrangian-stationarity residual (was
+    hardwired 0.0): converged solves report small-but-NONZERO kkt_stat and
+    status==1 requires BOTH stationarity and feasibility, the same contract
+    as method='al' (reference analogs: IPOPT's convergence criteria,
+    optimizer.py:556-558; FORCESPRO's exitflag, FORCESNLPsolver.h:96-100)."""
+    from mpc_tpu.ops import sqp
+    from tests.test_sqp import straight_params
+
+    p = straight_params(10, v=15.0)
+    cfg = sqp.SolverConfig(horizon=10, method="ip")
+    sol = sqp.solve(cfg, p, sqp.init_state(cfg))
+    stat = float(sol.kkt_stat)
+    assert stat > 0.0                      # measured, not hardwired
+    assert stat < cfg.tol_stat_ip          # benign instance: converges
+    assert float(sol.viol) < cfg.tol_feas
+    assert int(sol.status) == 1
+
+    # a lane far from stationarity must NOT report status 1 even if feasible
+    cfg_weak = sqp.SolverConfig(horizon=10, method="ip", ip_sqp_iters=1,
+                                ip_iters=1)
+    p_hard = p._replace(
+        x0=p.x0.at[1].set(2.5).at[4].set(0.4))  # off-path, heading error
+    sol_weak = sqp.solve(cfg_weak, p_hard, sqp.init_state(cfg_weak))
+    if float(sol_weak.viol) < cfg_weak.tol_feas:
+        assert float(sol_weak.kkt_stat) >= cfg_weak.tol_stat_ip or \
+            int(sol_weak.status) == 1
+    # and the residual is larger than the converged one
+    assert float(sol_weak.kkt_stat) > stat

@@ -24,11 +24,7 @@ import pytest
 from mpc_tpu.io.config import load_config
 from mpc_tpu.planner import closed_loop as cl
 
-REF = "/root/reference"
-SCN = os.path.join(REF, "scenarios")
-
-needs_ref = pytest.mark.skipif(not os.path.isdir(REF),
-                               reason="reference checkout not available")
+from asset_paths import CFG, GOLD, SCN  # noqa: F401
 
 
 def _dist_to_path(points, path, step=0.25):
@@ -43,13 +39,12 @@ def _dist_to_path(points, path, step=0.25):
 
 
 def _run(config_name):
-    c = load_config(os.path.join("configs", config_name), SCN)
+    c = load_config(os.path.join(CFG, config_name), SCN)
     lcfg = cl.make_loop_config(c, noised=False)
     params = cl.make_loop_params(c, lcfg)
     return c, cl.closed_loop_jit(lcfg, params)
 
 
-@needs_ref
 def test_tutorial_highway_goalless():
     c, res = _run("config_LF_ZAM_Tutorial-1_2_T-1.yaml")
     X = np.asarray(res.X)
@@ -62,7 +57,6 @@ def test_tutorial_highway_goalless():
     assert float(d.max()) < 1.0
 
 
-@needs_ref
 def test_tutorial_urban_head_on_obstacle():
     from mpc_tpu.utils import native
 
@@ -86,7 +80,6 @@ def test_tutorial_urban_head_on_obstacle():
     assert hl < 0
 
 
-@needs_ref
 def test_peach_intersection_from_rest():
     """USA_Peach: rest start + 90-deg urban corners through a 74-lanelet
     intersection network.
@@ -111,7 +104,6 @@ def test_peach_intersection_from_rest():
     assert float(X[10:40, 3].max()) < 0.75 * c.desired_velocity
 
 
-@needs_ref
 def test_detour_noop_when_obstacle_clears_path():
     """The detour pre-pass must not perturb paths that already clear the
     obstacle (parity configs keep their exact reference paths)."""
@@ -129,7 +121,6 @@ def test_detour_noop_when_obstacle_clears_path():
     np.testing.assert_allclose(bent[-1], path[-1], atol=1e-6)
 
 
-@needs_ref
 def test_tutorial_urban_all_steps_feasible():
     """N=12 (warmup engaged) keeps the whole Urban run violation-free."""
     c, res = _run("config_CA_ZAM_Tutorial_Urban-3_2.yaml")

@@ -9,18 +9,14 @@ from mpc_tpu.models import dynamics as dyn
 from mpc_tpu.planner import closed_loop as cl
 from mpc_tpu.planner.online import OnlinePlanner
 
-REF = "/root/reference"
-needs_ref = pytest.mark.skipif(not os.path.isdir(REF),
-                               reason="reference checkout not available")
+from asset_paths import CFG, GOLD, SCN  # noqa: F401
 
-
-@needs_ref
 def test_online_matches_offline_closed_loop():
     """Driving the online planner with the SAME plant the offline loop uses
     must reproduce the offline trajectory."""
-    c = load_config(os.path.join(REF, "test/config_files",
+    c = load_config(os.path.join(CFG,
                                  "config_LF_ZAM_Over-1_1.yaml"),
-                    os.path.join(REF, "scenarios"))
+                    SCN)
     lcfg = cl.make_loop_config(c, noised=False)
     params = cl.make_loop_params(c, lcfg)
     offline = cl.closed_loop_jit(lcfg, params)
@@ -42,14 +38,13 @@ def test_online_matches_offline_closed_loop():
                                rtol=1e-3, atol=1e-3)
 
 
-@needs_ref
 def test_online_handles_disturbed_measurements():
     """External disturbances (measured state != predicted state) keep the
     warm-started solver feasible — the deployment property the offline
     loops never exercise."""
-    c = load_config(os.path.join(REF, "test/config_files",
+    c = load_config(os.path.join(CFG,
                                  "config_CA_ZAM_Over-1_1.yaml"),
-                    os.path.join(REF, "scenarios"))
+                    SCN)
     planner = OnlinePlanner(c)
     lcfg = planner.lcfg
     plant = dyn.make_step_fn(lcfg.plant_integrator, lcfg.solver.dt,

@@ -65,13 +65,11 @@ def test_summary_collectives():
 
 def test_closed_loop_batch_sharded():
     import os
-    REF = "/root/reference"
-    if not os.path.isdir(REF):
-        pytest.skip("reference checkout not available")
+    from asset_paths import CFG, SCN
     from mpc_tpu.io.config import load_config
     from mpc_tpu.planner import closed_loop as cl
-    c = load_config(f"{REF}/test/config_files/config_LF_ZAM_Over-1_1.yaml",
-                    f"{REF}/scenarios")
+    c = load_config(os.path.join(CFG, "config_LF_ZAM_Over-1_1.yaml"),
+                    SCN)
     lcfg = cl.make_loop_config(c, noised=True)
     n = 8
     one = cl.make_loop_params(c, lcfg, seed=0)

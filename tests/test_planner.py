@@ -10,10 +10,7 @@ import pytest
 from mpc_tpu.utils import collision as col
 from mpc_tpu.utils import metrics as met
 
-REF = "/root/reference"
-needs_ref = pytest.mark.skipif(not os.path.isdir(REF),
-                               reason="reference checkout not available")
-
+from asset_paths import CFG, GOLD, SCN  # noqa: F401
 
 def test_rect_collision_basic():
     assert col.rectangles_collide([0, 0], 4, 2, 0.0, [3, 0], 4, 2, 0.0)
@@ -61,12 +58,11 @@ def test_metrics_shapes():
     assert stats["mean_ms"] == pytest.approx(2.0)
 
 
-@needs_ref
 def test_planner_facade_and_artifacts(tmp_path):
     from mpc_tpu.io.config import load_config
     from mpc_tpu.planner.planner import MPCPlanner
-    c = load_config(f"{REF}/test/config_files/config_LF_ZAM_Over-1_1.yaml",
-                    f"{REF}/scenarios")
+    c = load_config(os.path.join(CFG, "config_LF_ZAM_Over-1_1.yaml"),
+                    SCN)
     planner = MPCPlanner(c, noised=False)
     result = planner.plan()
     assert result.states.shape == (30, 5)
@@ -82,13 +78,12 @@ def test_planner_facade_and_artifacts(tmp_path):
     np.testing.assert_allclose(g, result.states)
 
 
-@needs_ref
 def test_cli_smoke(tmp_path):
     env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
     proc = subprocess.run(
         [sys.executable, "-m", "mpc_tpu.planner.cli",
-         "--config", f"{REF}/test/config_files/config_LF_ZAM_Over-1_1.yaml",
-         "--scenario-dir", f"{REF}/scenarios",
+         "--config", os.path.join(CFG, "config_LF_ZAM_Over-1_1.yaml"),
+         "--scenario-dir", SCN,
          "--deterministic"],
         capture_output=True, text=True, timeout=600, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

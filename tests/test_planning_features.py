@@ -9,10 +9,7 @@ import pytest
 
 from mpc_tpu.planner import reference as ref_mod
 
-REF = "/root/reference"
-needs_ref = pytest.mark.skipif(not os.path.isdir(REF),
-                               reason="reference checkout not available")
-
+from asset_paths import CFG, GOLD, SCN  # noqa: F401
 
 def _l_track(v=10.0, dt=0.1):
     """Straight 50 m, 90-degree arc (r = 8 m), straight 50 m."""
@@ -80,16 +77,15 @@ def test_progress_index_local_monotone_and_clamped():
     assert i3 <= int(tr.T)
 
 
-@needs_ref
 def test_road_edges_zam_picks_far_edges():
     """On the ZAM two-lane road (oncoming REVERSED neighbor) the selected
     edges must be the outer road edges, reproducing the reference's
     hardcoded choice (configuration.py:432-433)."""
     from mpc_tpu.io.config import load_config
 
-    c = load_config(os.path.join(REF, "test/config_files",
+    c = load_config(os.path.join(CFG,
                                  "config_LF_ZAM_Over-1_1.yaml"),
-                    os.path.join(REF, "scenarios"))
+                    SCN)
     from mpc_tpu.io.scenario import load_scenario
 
     left, right = c.left_road_boundary, c.right_road_boundary
@@ -98,13 +94,12 @@ def test_road_edges_zam_picks_far_edges():
     # selection must reproduce its hardcoded pick: right = lanelets[0]
     # .right_vertices (ego lane outer edge), left = lanelets[1]
     # .right_vertices (the REVERSED oncoming lane's "right" = far edge)
-    s = load_scenario(os.path.join(REF, "scenarios", "ZAM_Over-1_1_LF.xml"))
+    s = load_scenario(os.path.join(SCN, "ZAM_Over-1_1_LF.xml"))
     lids = sorted(s.lanelets)
     np.testing.assert_allclose(right, s.lanelets[lids[0]].right_vertices)
     np.testing.assert_allclose(left, s.lanelets[lids[1]].right_vertices)
 
 
-@needs_ref
 def test_progress_window_batch_vec_matches_single():
     """The lanes-trailing batched loop carries per-lane progress bases;
     identical lanes must reproduce the single-lane progress run."""
@@ -113,9 +108,9 @@ def test_progress_window_batch_vec_matches_single():
     from mpc_tpu.io.config import load_config
     from mpc_tpu.planner import closed_loop as cl
 
-    c = load_config(os.path.join(REF, "test/config_files",
+    c = load_config(os.path.join(CFG,
                                  "config_LF_ZAM_Over-1_1.yaml"),
-                    os.path.join(REF, "scenarios"))
+                    SCN)
     c = dataclasses.replace(c, progress_window=True)
     lcfg = cl.make_loop_config(c, noised=False)
     assert lcfg.progress_window

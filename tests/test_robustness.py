@@ -22,20 +22,16 @@ import pytest
 from mpc_tpu.io.config import load_config
 from mpc_tpu.planner import closed_loop as cl
 
-REF = "/root/reference"
+from asset_paths import CFG, GOLD, SCN  # noqa: F401
 OBS = np.array([59.948, 0.083])  # ZAM_Over-1_1 obstacle center
 
-needs_ref = pytest.mark.skipif(not os.path.isdir(REF),
-                               reason="reference checkout not available")
 
-
-@needs_ref
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_noised_ca_overtake_clears_obstacle(seed):
     """FP-mode CA with boundary corridor + actuation noise: every seed must
     commit to the overtake and clear the obstacle."""
     c = load_config("configs/config_CA_ZAM_Over-1_1_forcespro.yaml",
-                    os.path.join(REF, "scenarios"))
+                    SCN)
     lcfg = cl.make_loop_config(c, noised=True)
     params = cl.make_loop_params(c, lcfg, seed=seed)
     res = cl.closed_loop_jit(lcfg, params)
@@ -44,13 +40,12 @@ def test_noised_ca_overtake_clears_obstacle(seed):
     assert float(d.min()) > 3.0, (seed, float(d.min()))
 
 
-@needs_ref
 @pytest.mark.parametrize("seed", [0, 1])
 def test_noised_casadi_ca_clears_obstacle(seed):
     """CasADi-parity CA (AL method) under the reference's noise sigma."""
-    c = load_config(os.path.join(REF, "test/config_files",
+    c = load_config(os.path.join(CFG,
                                  "config_CA_ZAM_Over-1_1.yaml"),
-                    os.path.join(REF, "scenarios"))
+                    SCN)
     lcfg = cl.make_loop_config(c, noised=True)
     params = cl.make_loop_params(c, lcfg, seed=seed)
     res = cl.closed_loop_jit(lcfg, params)

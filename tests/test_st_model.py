@@ -137,12 +137,9 @@ def test_st_closed_loop_from_yaml_config():
     from mpc_tpu.io.config import load_config
     from mpc_tpu.planner import closed_loop as cl
 
-    ref = "/root/reference"
-    if not os.path.isdir(ref):
-        pytest.skip("reference checkout not available")
-    c = load_config(os.path.join(ref, "test/config_files",
-                                 "config_LF_ZAM_Over-1_1.yaml"),
-                    os.path.join(ref, "scenarios"))
+    from asset_paths import CFG, GOLD, SCN
+
+    c = load_config(os.path.join(CFG, "config_LF_ZAM_Over-1_1.yaml"), SCN)
     c = type(c)(**{**c.__dict__, "dynamics_model": "st"})
     # mu0=30: the ST plant brakes later than KS at the frozen end-of-path
     # window, activating the CasADi-parity friction row (|a^2 + ...| <=
@@ -160,7 +157,7 @@ def test_st_closed_loop_from_yaml_config():
     # KS-golden comparison: at 20 m/s on the straight ZAM road the ST and
     # KS trajectories stay close (tire dynamics matter little here)
     g = np.loadtxt(os.path.join(
-        ref, "test", "2D_plots_casadi_ZAM_Over-1_1_lane_following",
+        GOLD, "2D_plots_casadi_ZAM_Over-1_1_lane_following",
         "planned states.txt"))
     dev = np.abs(X[:, :2] - g[:, :2]).max()
     assert dev < 1.0

@@ -5,7 +5,7 @@ Replaces the reference's workflow of editing ``config_name`` in the unittest
 (formulation x scenario x use-case) combinations run in one command, with
 reference-format artifacts and a summary table.
 
-    python tools/run_all.py --scenario-dir /root/reference/scenarios \
+    python tools/run_all.py --scenario-dir scenarios \
         --config-dir configs --out /tmp/all [--deterministic]
 """
 from __future__ import annotations
@@ -23,7 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scenario-dir", required=True)
+    ap.add_argument("--scenario-dir", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scenarios"))
     ap.add_argument("--config-dir", default="configs")
     ap.add_argument("--out", default=None)
     ap.add_argument("--deterministic", action="store_true")

@@ -108,13 +108,21 @@ def main():
     results = [
         # reference-parity operating point: N=10 (H=9), default IP budget
         measure_point(cfg, "fp_default_h9", horizon=10),
-        # true RTI budget — 1 warm QP/step (reference maxqps=1)
+        # budget-beating feasible points (round-2 sweep, LATENCY.json):
+        # AL(2x3) 1.12 ms/step and hard-constrained IP(2x6) 1.85 ms vs the
+        # reference's 2.35 ms p50
+        measure_point(cfg, "al23_h9", horizon=10, method="al",
+                      al_iters=2, sqp_iters=3),
+        measure_point(cfg, "ip2x6_h9", horizon=10,
+                      ip_sqp_iters=2, ip_iters=6),
+        # true RTI floor — 1 warm QP/step (reference maxqps=1)
         measure_point(cfg, "fp_rti1_h9", horizon=10,
                       ip_sqp_iters=1, ip_iters=6),
         # deep horizon (the BASELINE.json H=30 target has no ref analog)
-        measure_point(cfg, "fp_default_h30", horizon=31),
-        measure_point(cfg, "fp_rti1_h30", horizon=31,
-                      ip_sqp_iters=1, ip_iters=6),
+        measure_point(cfg, "ip2x8_h30", horizon=31,
+                      ip_sqp_iters=2, ip_iters=8),
+        measure_point(cfg, "al23_h30", horizon=31, method="al",
+                      al_iters=2, sqp_iters=3),
     ]
     with open(os.path.join(REPO, "LATENCY.json"), "w") as f:
         json.dump(results, f, indent=1)

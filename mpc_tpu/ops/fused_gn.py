@@ -1,0 +1,928 @@
+"""Fused Pallas TPU kernel: the ENTIRE batched AL-SQP solve in one launch.
+
+Round-1 fused only the Riccati backward sweep (``ops.pallas_riccati``) and
+lost to XLA because the win was never the sweep: the GN-phase breakdown at
+B=2048/H=30 (``tools/gn_breakdown.py``, PARITY.md) shows the jacfwd-built
+(B, H+1, 14, 7) row Jacobian + einsum Gauss-Newton assembly and the HBM
+round-trips BETWEEN phases dominate.  This kernel runs the full solve —
+
+    for al_iters:                      # outer multiplier updates
+        for sqp_iters:                 # Gauss-Newton iterations
+            analytic stage quadratics  (closed-form row gradients; no
+                                        jacfwd, no (B,H,14,7) Jacobian)
+            Riccati backward sweep     (closed-form 2x2 Quu inverse)
+            merit ladder               (per-alpha rollouts, merit only)
+            apply rollout              (per-lane best alpha)
+        multiplier / penalty update
+    diagnostics pass                   (viol, cost, merit, KKT stationarity
+                                        via the analytic adjoint recursion)
+
+— per 1024-lane tile with EVERYTHING resident in VMEM: states, inputs,
+multipliers, gains.  No (B, H, ...) intermediate ever round-trips HBM.
+
+Layout (the tiny-matrix trick, SURVEY.md §7 "hard parts"): every per-lane
+scalar is an (8, 128) vector register over the 1024-lane tile; 5x5 algebra
+unrolls into VPU FMAs on those registers (same convention as
+``ops.pallas_riccati`` / ``ops.riccati_vec``).
+
+Key trick for the line search: the iLQR iterate is always dynamics-
+consistent, so a feedback rollout at alpha=0 reproduces (X, U) exactly.
+"No improvement" is therefore just alpha_eff = 0, and the per-lane best
+alpha is applied in ONE extra rollout — no candidate trajectories are ever
+stored or where-selected.
+
+Eligibility (v1): KS model, method='al', no boundary rows, static obstacle,
+NU=2.  ``solve_batch_fused`` falls back to ``sqp_vec.solve_batch_vec``
+otherwise.  Equivalence with the vmapped reference solver is tested in
+``tests/test_fused_gn.py`` (interpret mode on CPU, compiled on TPU).
+
+Reference analog: the whole generated FORCESPRO C solver
+(``test/FORCESNLPsolver/lib/``) — one self-contained native solve per call.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpc_tpu.models import constraints as C
+from mpc_tpu.ops import sqp as S
+
+NX = 5
+NU = 2
+NR = 14            # 1 friction + 9 circles + 4 box rows
+LANE_TILE = 1024
+_SUB = 8
+_LANES = 128
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# packing: (B, ...) -> (tiles, ..., 8, 128)
+# ---------------------------------------------------------------------------
+
+
+def _pack(x: jax.Array, padB: int) -> jax.Array:
+    """(B, *mid) -> (tiles, *mid_flat..., 8, 128) keeping mid axes intact.
+
+    Works for (B,), (B, F), (B, H, F): the lane axis moves to the trailing
+    (8, 128) register shape; other axes keep their order.
+    """
+    B = x.shape[0]
+    mid = x.shape[1:]
+    if padB != B:
+        pad = jnp.zeros((padB - B,) + mid, x.dtype)
+        x = jnp.concatenate([x, pad], axis=0)
+    tiles = padB // LANE_TILE
+    x = x.reshape((tiles, LANE_TILE) + mid)
+    x = jnp.moveaxis(x, 1, -1)  # (tiles, *mid, LANE_TILE)
+    return x.reshape((tiles,) + mid + (_SUB, _LANES))
+
+
+def _unpack(x: jax.Array, B: int) -> jax.Array:
+    """(tiles, *mid, 8, 128) -> (B, *mid)."""
+    tiles = x.shape[0]
+    mid = x.shape[1:-2]
+    x = x.reshape((tiles,) + mid + (LANE_TILE,))
+    x = jnp.moveaxis(x, -1, 1).reshape((tiles * LANE_TILE,) + mid)
+    return x[:B]
+
+
+# ---------------------------------------------------------------------------
+# in-kernel math on (8, 128) lane registers (row-list style)
+# ---------------------------------------------------------------------------
+
+
+def _ks_ode(x, u, inv_l):
+    px, py, delta, v, psi = x
+    return [v * jnp.cos(psi), v * jnp.sin(psi), u[0], u[1],
+            v * jnp.tan(delta) * inv_l]
+
+
+def _step_rows(x, u, dt, inv_l, integrator):
+    """Discrete KS step on row-lists (RK4 / Euler, dynamics.py parity)."""
+    def add(a, s, k):
+        return [a[i] + s * k[i] for i in range(NX)]
+
+    if integrator == "euler":
+        return add(x, dt, _ks_ode(x, u, inv_l))
+    k1 = _ks_ode(x, u, inv_l)
+    k2 = _ks_ode(add(x, 0.5 * dt, k1), u, inv_l)
+    k3 = _ks_ode(add(x, 0.5 * dt, k2), u, inv_l)
+    k4 = _ks_ode(add(x, dt, k3), u, inv_l)
+    return [x[i] + (dt / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
+            for i in range(NX)]
+
+
+def _jmul(x, M, inv_l, ncol):
+    """J(x) @ M with the KS Jacobian's 6-nonzero sparsity.
+
+    J rows: f0 <- (cos psi) d v - (v sin psi) d psi
+            f1 <- (sin psi) d v + (v cos psi) d psi
+            f4 <- (v (1+tan^2 delta)/l) d delta + (tan delta / l) d v
+    M: row-list (NX x ncol); entries may be python floats (identity cols).
+    """
+    delta, v, psi = x[2], x[3], x[4]
+    t = jnp.tan(delta)
+    cp, sp = jnp.cos(psi), jnp.sin(psi)
+    dvd = v * (1.0 + t * t) * inv_l
+    tl = t * inv_l
+    row0 = [cp * M[3][j] - (v * sp) * M[4][j] for j in range(ncol)]
+    row1 = [sp * M[3][j] + (v * cp) * M[4][j] for j in range(ncol)]
+    zrow = [0.0 for _ in range(ncol)]
+    row4 = [dvd * M[2][j] + tl * M[3][j] for j in range(ncol)]
+    return [row0, row1, zrow, zrow, row4]
+
+
+def _fu_rows(ncol_u=NU):
+    """d f / d u: rows 2, 3 are the identity over u."""
+    fu = [[0.0] * ncol_u for _ in range(NX)]
+    fu[2][0] = 1.0
+    fu[3][1] = 1.0
+    return fu
+
+
+def _lin_step(x, u, dt, inv_l, integrator):
+    """Analytic (A, B) of the discrete step (chain rule through RK4/Euler).
+
+    Matches ``jax.jacfwd`` of ``dynamics.rk4_step``/``euler_step`` to fp
+    precision.  Returns row-lists A (5x5), Bm (5x2).
+    """
+    eye = [[1.0 if i == j else 0.0 for j in range(NX)] for i in range(NX)]
+    fu = _fu_rows()
+
+    def add(a, s, k):
+        return [a[i] + s * k[i] for i in range(NX)]
+
+    def macc(base, s, k, n, m):
+        return [[base[i][j] + s * k[i][j] for j in range(m)]
+                for i in range(n)]
+
+    if integrator == "euler":
+        J1x = _jmul(x, eye, inv_l, NX)
+        A = macc(eye, dt, J1x, NX, NX)
+        Bm = [[dt * fu[i][j] for j in range(NU)] for i in range(NX)]
+        return A, Bm
+
+    k1 = _ks_ode(x, u, inv_l)
+    x2 = add(x, 0.5 * dt, k1)
+    k2 = _ks_ode(x2, u, inv_l)
+    x3 = add(x, 0.5 * dt, k2)
+    k3 = _ks_ode(x3, u, inv_l)
+    x4 = add(x, dt, k3)
+
+    # d k_i / d x
+    dk1x = _jmul(x, eye, inv_l, NX)
+    m2 = macc(eye, 0.5 * dt, dk1x, NX, NX)
+    dk2x = _jmul(x2, m2, inv_l, NX)
+    m3 = macc(eye, 0.5 * dt, dk2x, NX, NX)
+    dk3x = _jmul(x3, m3, inv_l, NX)
+    m4 = macc(eye, dt, dk3x, NX, NX)
+    dk4x = _jmul(x4, m4, inv_l, NX)
+    A = [[eye[i][j] + (dt / 6.0) * (dk1x[i][j] + 2.0 * dk2x[i][j]
+                                    + 2.0 * dk3x[i][j] + dk4x[i][j])
+          for j in range(NX)] for i in range(NX)]
+
+    # d k_i / d u   (dk1u = fu; dkiu = J_i (dt_i * dk_{i-1}u) + fu)
+    zero_u = [[0.0] * NU for _ in range(NX)]
+    dk1u = fu
+    b2 = macc(zero_u, 0.5 * dt, dk1u, NX, NU)
+    dk2u = macc(_jmul(x2, b2, inv_l, NU), 1.0, fu, NX, NU)
+    b3 = macc(zero_u, 0.5 * dt, dk2u, NX, NU)
+    dk3u = macc(_jmul(x3, b3, inv_l, NU), 1.0, fu, NX, NU)
+    b4 = macc(zero_u, dt, dk3u, NX, NU)
+    dk4u = macc(_jmul(x4, b4, inv_l, NU), 1.0, fu, NX, NU)
+    Bm = [[(dt / 6.0) * (dk1u[i][j] + 2.0 * dk2u[i][j] + 2.0 * dk3u[i][j]
+                         + dk4u[i][j]) for j in range(NU)]
+          for i in range(NX)]
+    return A, Bm
+
+
+# ---------------------------------------------------------------------------
+# constraint rows: values + closed-form gradients (constraints.py parity)
+# ---------------------------------------------------------------------------
+
+
+class _Rows:
+    """Per-stage rows with their sparse gradients (all (8,128) registers).
+
+    friction: h, (g_delta, g_v, g_a)
+    circles:  9 x (d, ux, uy, g_psi)   [grad wrt px, py, psi]
+    boxes:    [u0, u1, delta, v] identity rows
+    """
+
+    __slots__ = ("h_f", "gf", "circ", "box")
+
+
+def _compute_rows(x, u_eff, obs, consts, is_term: bool, k_is0):
+    """consts: dict of static floats; obs: list of 6 (8,128) [o_xy x 3].
+
+    k_is0: traced scalar bool (casadi friction mask) or None (forcespro).
+    """
+    px, py, delta, v, psi = x
+    a = u_eff[1]
+    inv_l = consts["inv_l"]
+    r = _Rows()
+
+    t = jnp.tan(delta)
+    if consts["formulation"] == "forcespro":
+        w = v * v * t * inv_l            # v * psidot
+        r.h_f = a * a + w * w
+        g_delta = 2.0 * w * v * v * (1.0 + t * t) * inv_l
+        g_v = 4.0 * w * v * t * inv_l
+        g_a = 2.0 * a
+    else:  # casadi: |a^2 + v^2 tan(delta)/l|, stage 0 only
+        s_val = a * a + v * v * t * inv_l
+        sgn = jnp.sign(s_val)
+        h = jnp.abs(s_val)
+        g_delta = sgn * v * v * (1.0 + t * t) * inv_l
+        g_v = sgn * 2.0 * v * t * inv_l
+        g_a = sgn * 2.0 * a
+        mask = k_is0
+        r.h_f = jnp.where(mask, h, 0.0)
+        g_delta = jnp.where(mask, g_delta, 0.0)
+        g_v = jnp.where(mask, g_v, 0.0)
+        g_a = jnp.where(mask, g_a, 0.0)
+    if is_term:
+        g_a = jnp.zeros_like(g_a)  # terminal u columns are dropped
+    r.gf = (g_delta, g_v, g_a)
+
+    # ego circle centers: k_i in (0, +d, -d) along heading
+    cp, sp = jnp.cos(psi), jnp.sin(psi)
+    d_ego = consts["d_ego"]
+    ks = (0.0, d_ego, -d_ego)
+    eps = 1e-9
+    circ = []
+    if consts["formulation"] == "forcespro":
+        pairs = [(i, j) for i in range(3) for j in range(3)]  # all 9
+    else:
+        pairs = [(i, i) for i in range(3) for _ in range(3)]  # matched x3
+    for (i, j) in pairs:
+        ex = px + ks[i] * cp
+        ey = py + ks[i] * sp
+        dx = ex - obs[2 * j]
+        dy = ey - obs[2 * j + 1]
+        dist = jnp.sqrt(dx * dx + dy * dy + eps)
+        inv_d = 1.0 / dist
+        ux = dx * inv_d
+        uy = dy * inv_d
+        g_psi = ks[i] * (-ux * sp + uy * cp) if ks[i] != 0.0 \
+            else jnp.zeros_like(ux)
+        circ.append((dist, ux, uy, g_psi))
+    r.circ = circ
+    r.box = (u_eff[0], u_eff[1], delta, v)
+    return r
+
+
+def _al_one_sided(h, bound, lam, mu, is_hi: bool):
+    """AL terms for one side: (psi_part, grad_part, gn_part).
+
+    psi_part = (m^2 - lam^2) / (2 mu); grad = +-m; gn = mu * active.
+    """
+    c = (h - bound) if is_hi else (bound - h)
+    t = lam + mu * c
+    act = t > 0
+    m = jnp.where(act, t, 0.0)
+    psi = (m * m - lam * lam) / (2.0 * mu)
+    grad = m if is_hi else -m
+    gn = jnp.where(act, mu, 0.0)
+    return psi, grad, gn
+
+
+def _row_bounds(consts, mind, is_term: bool):
+    """Static (lo, hi) per row index; None = unbounded. mind is per-lane."""
+    a_cap = (consts["a_max"] ** 2 if consts["formulation"] == "forcespro"
+             else consts["a_max"])
+    bounds = [(0.0, a_cap)]
+    for _ in range(9):
+        bounds.append((mind, None))
+    if is_term:
+        bounds += [(None, None), (None, None)]
+    else:
+        bounds += [(consts["u_lo0"], consts["u_hi0"]),
+                   (consts["u_lo1"], consts["u_hi1"])]
+    bounds += [(consts["d_lo"], consts["d_hi"]),
+               (consts["v_lo"], consts["v_hi"])]
+    return bounds
+
+
+def _row_values(r: _Rows):
+    return ([r.h_f] + [c[0] for c in r.circ] + list(r.box))
+
+
+def _stage_psi(r: _Rows, bounds, lam_lo, lam_hi, mu):
+    """Sum of AL penalty terms over the 14 rows (merit evaluation)."""
+    hs = _row_values(r)
+    psi = None
+    for i, (lo, hi) in enumerate(bounds):
+        contrib = 0.0
+        if hi is not None:
+            p, _, _ = _al_one_sided(hs[i], hi, lam_hi[i], mu[i], True)
+            contrib = contrib + p
+        if lo is not None:
+            p, _, _ = _al_one_sided(hs[i], lo, lam_lo[i], mu[i], False)
+            contrib = contrib + p
+        psi = contrib if psi is None else psi + contrib
+    return psi
+
+
+def _stage_cost_rows(x, u, xref, wq, wr):
+    c = None
+    for i in range(NX):
+        dxi = x[i] - xref[i]
+        term = wq[i] * dxi * dxi
+        c = term if c is None else c + term
+    for i in range(NU):
+        c = c + wr[i] * u[i] * u[i]
+    return c
+
+
+def _term_cost_rows(x, xref, wqN):
+    c = None
+    for i in range(NX):
+        dxi = x[i] - xref[i]
+        term = wqN[i] * dxi * dxi
+        c = term if c is None else c + term
+    return c
+
+
+def _row_al_grads(r: _Rows, bounds, lam_lo, lam_hi, mu):
+    """(gh, gn) per row: d psi/d h and the GN diagonal."""
+    hs = _row_values(r)
+    out = []
+    for i, (lo, hi) in enumerate(bounds):
+        gh = 0.0
+        gn = 0.0
+        if hi is not None:
+            _, g, n = _al_one_sided(hs[i], hi, lam_hi[i], mu[i], True)
+            gh = gh + g
+            gn = gn + n
+        if lo is not None:
+            _, g, n = _al_one_sided(hs[i], lo, lam_lo[i], mu[i], False)
+            gh = gh + g
+            gn = gn + n
+        out.append((gh, gn))
+    return out
+
+
+def _assemble_quad(r: _Rows, algr, x, u_eff, xref, wq, wr,
+                   is_term: bool, wqN=None, use_terminal=True):
+    """GN quadratic of cost + AL rows at one stage (sparse analytic form).
+
+    Returns (Q 5x5 rows, R 2x2, M 5x2, qx 5, qu 2) for a non-terminal
+    stage; (QH 5x5, qH 5) when is_term.
+    """
+    z = jnp.zeros_like(x[0])
+    Q = [[z if i != j else jnp.zeros_like(z) for j in range(NX)]
+         for i in range(NX)]
+    qx = [jnp.zeros_like(z) for _ in range(NX)]
+    if not is_term:
+        R = [[jnp.zeros_like(z) for _ in range(NU)] for _ in range(NU)]
+        M = [[jnp.zeros_like(z) for _ in range(NU)] for _ in range(NX)]
+        qu = [jnp.zeros_like(z) for _ in range(NU)]
+
+    # friction row -> (delta, v, a) block
+    gh, gn = algr[0]
+    gd, gv, ga = r.gf
+    Q[2][2] = Q[2][2] + gn * gd * gd
+    Q[2][3] = Q[2][3] + gn * gd * gv
+    Q[3][3] = Q[3][3] + gn * gv * gv
+    qx[2] = qx[2] + gh * gd
+    qx[3] = qx[3] + gh * gv
+    if not is_term:
+        R[1][1] = R[1][1] + gn * ga * ga
+        M[2][1] = M[2][1] + gn * gd * ga
+        M[3][1] = M[3][1] + gn * gv * ga
+        qu[1] = qu[1] + gh * ga
+
+    # circle rows -> (px, py, psi) block
+    for idx, (_, ux, uy, gp) in enumerate(r.circ):
+        gh, gn = algr[1 + idx]
+        Q[0][0] = Q[0][0] + gn * ux * ux
+        Q[0][1] = Q[0][1] + gn * ux * uy
+        Q[1][1] = Q[1][1] + gn * uy * uy
+        Q[0][4] = Q[0][4] + gn * ux * gp
+        Q[1][4] = Q[1][4] + gn * uy * gp
+        Q[4][4] = Q[4][4] + gn * gp * gp
+        qx[0] = qx[0] + gh * ux
+        qx[1] = qx[1] + gh * uy
+        qx[4] = qx[4] + gh * gp
+
+    # box rows: u0, u1, delta, v (identity gradients)
+    if not is_term:
+        gh, gn = algr[10]
+        R[0][0] = R[0][0] + gn
+        qu[0] = qu[0] + gh
+        gh, gn = algr[11]
+        R[1][1] = R[1][1] + gn
+        qu[1] = qu[1] + gh
+    gh, gn = algr[12]
+    Q[2][2] = Q[2][2] + gn
+    qx[2] = qx[2] + gh
+    gh, gn = algr[13]
+    Q[3][3] = Q[3][3] + gn
+    qx[3] = qx[3] + gh
+
+    # quadratic cost (exact): Q += 2 diag(w), q += 2 w dx
+    if is_term:
+        if use_terminal:
+            for i in range(NX):
+                Q[i][i] = Q[i][i] + 2.0 * wqN[i]
+                qx[i] = qx[i] + 2.0 * wqN[i] * (x[i] - xref[i])
+    else:
+        for i in range(NX):
+            Q[i][i] = Q[i][i] + 2.0 * wq[i]
+            qx[i] = qx[i] + 2.0 * wq[i] * (x[i] - xref[i])
+        for i in range(NU):
+            R[i][i] = R[i][i] + 2.0 * wr[i]
+            qu[i] = qu[i] + 2.0 * wr[i] * u_eff[i]
+
+    # symmetrize the off-diagonal accumulations
+    Q[1][0] = Q[0][1]
+    Q[3][2] = Q[2][3]
+    Q[4][0] = Q[0][4]
+    Q[4][1] = Q[1][4]
+    if is_term:
+        return Q, qx
+    return Q, R, M, qx, qu
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+
+def _read_vec(ref, k, n):
+    v = ref[k]
+    return [v[i] for i in range(n)]
+
+
+def _make_kernel(cfg: S.SolverConfig, H: int):
+    consts = {
+        "formulation": cfg.formulation,
+        "inv_l": 1.0 / cfg.wheelbase,
+        "a_max": float(cfg.a_max),
+        "d_ego": C.approx_circle_radius(cfg.ego_length, cfg.ego_width)[1]
+        / 4.0,
+        "u_lo0": float(cfg.bounds.u_lo[0]), "u_hi0": float(cfg.bounds.u_hi[0]),
+        "u_lo1": float(cfg.bounds.u_lo[1]), "u_hi1": float(cfg.bounds.u_hi[1]),
+        "d_lo": float(cfg.bounds.x_lo[2]), "d_hi": float(cfg.bounds.x_hi[2]),
+        "v_lo": float(cfg.bounds.x_lo[3]), "v_hi": float(cfg.bounds.x_hi[3]),
+    }
+    dt = float(cfg.dt)
+    inv_l = consts["inv_l"]
+    integ = cfg.integrator
+    reg = float(cfg.reg)
+    u_clip = ((consts["u_lo0"], consts["u_lo1"]),
+              (consts["u_hi0"], consts["u_hi1"]))
+
+    def kernel(x0_ref, xref_ref, obs_ref, mind_ref, w_ref,
+               u_ref, lamlo_ref, lamhi_ref, mu_ref, pviol_ref,
+               X_ref, u_out, lamlo_out, lamhi_out, mu_out, pviol_out,
+               diag_ref, K_scr, d_scr):
+        # The warm-start state is carried in the OUTPUT refs (HBM-aliased to
+        # the inputs).  In the compiled pipeline output VMEM windows are NOT
+        # pre-loaded with the aliased buffer's contents (only the interpreter
+        # does that), so initialize them from the input windows explicitly.
+        u_out[...] = u_ref[...]
+        lamlo_out[...] = lamlo_ref[...]
+        lamhi_out[...] = lamhi_ref[...]
+        mu_out[...] = mu_ref[...]
+        pviol_out[...] = pviol_ref[...]
+        obs = [obs_ref[i] for i in range(6)]
+        mind = mind_ref[0]
+        wq = [w_ref[i] for i in range(NX)]
+        wr = [w_ref[NX + i] for i in range(NU)]
+        wqN = [w_ref[NX + NU + i] for i in range(NX)]
+        x0 = [x0_ref[i] for i in range(NX)]
+
+        bounds_k = _row_bounds(consts, mind, is_term=False)
+        bounds_T = _row_bounds(consts, mind, is_term=True)
+
+        def clip_u(u):
+            return [jnp.clip(u[i], u_clip[0][i], u_clip[1][i])
+                    for i in range(NU)]
+
+        def stage_refs(k):
+            return (_read_vec(xref_ref, k, NX),
+                    _read_vec(lamlo_out, k, NR),
+                    _read_vec(lamhi_out, k, NR),
+                    _read_vec(mu_out, k, NR))
+
+        def stage_merit(x, u_eff, k, is_term):
+            """cost + AL psi of one stage (x list, u_eff list)."""
+            xref_k, lam_lo, lam_hi, mu = stage_refs(k)
+            r = _compute_rows(x, u_eff, obs, consts, is_term,
+                              k_is0=(k == 0))
+            psi = _stage_psi(r, bounds_T if is_term else bounds_k,
+                             lam_lo, lam_hi, mu)
+            if is_term:
+                c = (_term_cost_rows(x, xref_k, wqN)
+                     if cfg.use_terminal_cost else jnp.zeros_like(psi))
+            else:
+                c = _stage_cost_rows(x, u_eff, xref_k, wq, wr)
+            return c + psi
+
+        # --- initial rollout: X <- rollout(x0, U) ---------------------------
+        def roll_body(k, x):
+            X_ref[k] = jnp.stack(x)
+            u = _read_vec(u_out, k, NU)
+            return jnp.stack(_step_rows(x, u, dt, inv_l, integ))
+
+        xH = jax.lax.fori_loop(0, H, lambda k, xs: roll_body(
+            k, [xs[i] for i in range(NX)]), jnp.stack(x0))
+        X_ref[H] = xH
+
+        zero_alpha = jnp.zeros_like(x0[0])
+
+        def feedback_rollout(alpha, write: bool):
+            """Rollout u = clip(ub + alpha d + K (x - xb)); returns merit.
+
+            alpha: (8,128) per-lane step size.  write=True stores the new
+            (X, U) into the refs (done AFTER merit rollouts so reads of
+            X_ref/u_out inside this function see the OLD trajectory).
+            """
+            def body(k, carry):
+                x, acc = carry
+                xl = [x[i] for i in range(NX)]
+                xb = _read_vec(X_ref, k, NX)
+                ub = _read_vec(u_out, k, NU)
+                Kk = _read_vec(K_scr, k, NU * NX)
+                dk = _read_vec(d_scr, k, NU)
+                dxb = [xl[i] - xb[i] for i in range(NX)]
+                u = []
+                for i in range(NU):
+                    fb = sum(Kk[i * NX + j] * dxb[j] for j in range(NX))
+                    u.append(ub[i] + alpha * dk[i] + fb)
+                u = clip_u(u)
+                acc = acc + stage_merit(xl, u, k, is_term=False)
+                x_next = _step_rows(xl, u, dt, inv_l, integ)
+                if write:
+                    X_ref[k] = jnp.stack(xl)
+                    u_out[k] = jnp.stack(u)
+                return (jnp.stack(x_next), acc)
+
+            xH2, acc = jax.lax.fori_loop(
+                0, H, body, (jnp.stack(x0), jnp.zeros_like(x0[0])))
+            xHl = [xH2[i] for i in range(NX)]
+            acc = acc + stage_merit(xHl, [zero_alpha, zero_alpha], H,
+                                    is_term=True)
+            if write:
+                X_ref[H] = xH2
+            return acc
+
+        # --- AL-SQP iterations ----------------------------------------------
+        for _ai in range(cfg.al_iters):
+            for _si in range(cfg.sqp_iters):
+                # backward sweep (terminal quad + reverse stage recursion)
+                xT = _read_vec(X_ref, H, NX)
+                xrefT, lam_loT, lam_hiT, muT = stage_refs(H)
+                rT = _compute_rows(xT, [zero_alpha, zero_alpha], obs,
+                                   consts, True, k_is0=False)
+                algrT = _row_al_grads(rT, bounds_T, lam_loT, lam_hiT, muT)
+                QH, qH = _assemble_quad(rT, algrT, xT,
+                                        [zero_alpha, zero_alpha], xrefT,
+                                        wq, wr, True, wqN,
+                                        cfg.use_terminal_cost)
+
+                def bwd_body(j, carry):
+                    P, p = carry  # (5,5,8,128) stacked, (5,8,128)
+                    k = H - 1 - j
+                    Pl = [[P[i, j2] for j2 in range(NX)] for i in range(NX)]
+                    pl_ = [p[i] for i in range(NX)]
+                    x = _read_vec(X_ref, k, NX)
+                    u = _read_vec(u_out, k, NU)
+                    xref_k, lam_lo, lam_hi, mu = stage_refs(k)
+                    r = _compute_rows(x, u, obs, consts, False,
+                                      k_is0=(k == 0))
+                    algr = _row_al_grads(r, bounds_k, lam_lo, lam_hi, mu)
+                    Q, R, M, qx, qu = _assemble_quad(
+                        r, algr, x, u, xref_k, wq, wr, False)
+                    A, Bm = _lin_step(x, u, dt, inv_l, integ)
+
+                    At = [[A[i][j2] for i in range(NX)] for j2 in range(NX)]
+                    Bt = [[Bm[i][j2] for i in range(NX)]
+                          for j2 in range(NU)]
+                    PA = [[sum(Pl[i][t2] * A[t2][j2] for t2 in range(NX))
+                           for j2 in range(NX)] for i in range(NX)]
+                    PB = [[sum(Pl[i][t2] * Bm[t2][j2] for t2 in range(NX))
+                           for j2 in range(NU)] for i in range(NX)]
+                    Qxx = [[Q[i][j2] + sum(At[i][t2] * PA[t2][j2]
+                                           for t2 in range(NX))
+                            for j2 in range(NX)] for i in range(NX)]
+                    Quu = [[R[i][j2] + sum(Bt[i][t2] * PB[t2][j2]
+                                           for t2 in range(NX))
+                            for j2 in range(NU)] for i in range(NU)]
+                    Mt = [[M[i][j2] for i in range(NX)] for j2 in range(NU)]
+                    Qux = [[Mt[i][j2] + sum(Bt[i][t2] * PA[t2][j2]
+                                            for t2 in range(NX))
+                            for j2 in range(NX)] for i in range(NU)]
+                    gx = [qx[i] + sum(At[i][t2] * pl_[t2]
+                                      for t2 in range(NX))
+                          for i in range(NX)]
+                    gu = [qu[i] + sum(Bt[i][t2] * pl_[t2]
+                                      for t2 in range(NX))
+                          for i in range(NU)]
+
+                    a = Quu[0][0] + reg
+                    b = Quu[0][1]
+                    c = Quu[1][0]
+                    dd2 = Quu[1][1] + reg
+                    inv_det = 1.0 / (a * dd2 - b * c)
+                    Qi = [[dd2 * inv_det, -b * inv_det],
+                          [-c * inv_det, a * inv_det]]
+                    Kk = [[-(Qi[i][0] * Qux[0][j2] + Qi[i][1] * Qux[1][j2])
+                           for j2 in range(NX)] for i in range(NU)]
+                    dk = [-(Qi[i][0] * gu[0] + Qi[i][1] * gu[1])
+                          for i in range(NU)]
+                    K_scr[k] = jnp.stack(
+                        [Kk[i][j2] for i in range(NU) for j2 in range(NX)])
+                    d_scr[k] = jnp.stack(dk)
+
+                    QuxT = [[Qux[i][j2] for i in range(NU)]
+                            for j2 in range(NX)]
+                    P_new = [[Qxx[i][j2]
+                              + QuxT[i][0] * Kk[0][j2]
+                              + QuxT[i][1] * Kk[1][j2]
+                              for j2 in range(NX)] for i in range(NX)]
+                    P_sym = jnp.stack([
+                        jnp.stack([0.5 * (P_new[i][j2] + P_new[j2][i])
+                                   for j2 in range(NX)])
+                        for i in range(NX)])
+                    p_new = jnp.stack([gx[i] + QuxT[i][0] * dk[0]
+                                       + QuxT[i][1] * dk[1]
+                                       for i in range(NX)])
+                    return (P_sym, p_new)
+
+                P0 = jnp.stack([jnp.stack(QH[i]) for i in range(NX)])
+                p0 = jnp.stack(qH)
+                jax.lax.fori_loop(0, H, bwd_body, (P0, p0))
+
+                # line-search ladder: merit-only rollouts, keep best alpha
+                # (alpha=0 reproduces the current iterate exactly)
+                ones = jnp.ones_like(zero_alpha)
+                best_m = feedback_rollout(zero_alpha, write=False)
+                best_a = zero_alpha
+                for a_val in cfg.alphas:
+                    m_a = feedback_rollout(a_val * ones, write=False)
+                    take = m_a < best_m
+                    best_m = jnp.where(take, m_a, best_m)
+                    best_a = jnp.where(take, a_val * ones, best_a)
+                feedback_rollout(best_a, write=True)
+
+            # --- multiplier / penalty update (all stages) -------------------
+            def upd_body(k, _):
+                is_last = k == H  # traced; handled via where on u mask
+                x = _read_vec(X_ref, k, NX)
+                u = _read_vec(u_out, jnp.minimum(k, H - 1), NU)
+                u_eff = [jnp.where(is_last, 0.0, u[i]) for i in range(NU)]
+                xref_k, lam_lo, lam_hi, mu = stage_refs(k)
+                pv = _read_vec(pviol_out, k, NR)
+                r = _compute_rows(x, u_eff, obs, consts, False,
+                                  k_is0=(k == 0))
+                # terminal: friction uses a=0 (u_eff), box u rows unbounded
+                hs = _row_values(r)
+                new_lo, new_hi, new_mu, new_viol = [], [], [], []
+                for i, (lo, hi) in enumerate(bounds_k):
+                    # terminal mask for the two u box rows
+                    masked = is_last if i in (10, 11) else False
+                    t_hi = (lam_hi[i] + mu[i] * (hs[i] - hi)
+                            if hi is not None else None)
+                    t_lo = (lam_lo[i] + mu[i] * (lo - hs[i])
+                            if lo is not None else None)
+                    lh = (jnp.clip(jnp.where(t_hi > 0, t_hi, 0.0), 0.0,
+                                   cfg.lam_max)
+                          if hi is not None else lam_hi[i])
+                    ll = (jnp.clip(jnp.where(t_lo > 0, t_lo, 0.0), 0.0,
+                                   cfg.lam_max)
+                          if lo is not None else lam_lo[i])
+                    v_hi = (jnp.maximum(hs[i] - hi, 0.0)
+                            if hi is not None else 0.0)
+                    v_lo = (jnp.maximum(lo - hs[i], 0.0)
+                            if lo is not None else 0.0)
+                    viol = jnp.maximum(v_hi, v_lo)
+                    if isinstance(masked, bool) and not masked:
+                        pass
+                    else:
+                        lh = jnp.where(masked, lam_hi[i], lh)
+                        ll = jnp.where(masked, lam_lo[i], ll)
+                        viol = jnp.where(masked, 0.0, viol)
+                    stalled = viol > cfg.viol_improve * pv[i]
+                    active = viol > cfg.tol_feas
+                    m_new = jnp.where(stalled & active,
+                                      mu[i] * cfg.mu_factor, mu[i])
+                    m_new = jnp.clip(m_new, cfg.mu0, cfg.mu_max)
+                    new_lo.append(ll)
+                    new_hi.append(lh)
+                    new_mu.append(m_new)
+                    new_viol.append(viol)
+                lamlo_out[k] = jnp.stack(new_lo)
+                lamhi_out[k] = jnp.stack(new_hi)
+                mu_out[k] = jnp.stack(new_mu)
+                pviol_out[k] = jnp.stack(new_viol)
+                return 0
+
+            jax.lax.fori_loop(0, H + 1, upd_body, 0)
+
+        # --- diagnostics: viol, cost, merit, KKT stationarity ---------------
+        # adjoint recursion: lam_H = qH; g_u[k] = qu + B' lam_{k+1};
+        # lam_k = qx + A' lam_{k+1}
+        xT = _read_vec(X_ref, H, NX)
+        xrefT, lam_loT, lam_hiT, muT = stage_refs(H)
+        rT = _compute_rows(xT, [zero_alpha, zero_alpha], obs, consts,
+                           True, k_is0=False)
+        algrT = _row_al_grads(rT, bounds_T, lam_loT, lam_hiT, muT)
+        QHd, qHd = _assemble_quad(rT, algrT, xT, [zero_alpha, zero_alpha],
+                                  xrefT, wq, wr, True, wqN,
+                                  cfg.use_terminal_cost)
+        psi_T = _stage_psi(rT, bounds_T, lam_loT, lam_hiT, muT)
+        cost_T = (_term_cost_rows(xT, xrefT, wqN)
+                  if cfg.use_terminal_cost else jnp.zeros_like(psi_T))
+        hs_T = _row_values(rT)
+        violT = jnp.zeros_like(psi_T)
+        for i, (lo, hi) in enumerate(bounds_T):
+            if hi is not None:
+                violT = jnp.maximum(violT, hs_T[i] - hi)
+            if lo is not None:
+                violT = jnp.maximum(violT, lo - hs_T[i])
+
+        def diag_body(j, carry):
+            lam, stat, viol, cost, merit = carry
+            k = H - 1 - j
+            laml = [lam[i] for i in range(NX)]
+            x = _read_vec(X_ref, k, NX)
+            u = _read_vec(u_out, k, NU)
+            xref_k, lam_lo, lam_hi, mu = stage_refs(k)
+            r = _compute_rows(x, u, obs, consts, False, k_is0=(k == 0))
+            algr = _row_al_grads(r, bounds_k, lam_lo, lam_hi, mu)
+            _, _, _, qx, qu = _assemble_quad(r, algr, x, u, xref_k, wq, wr,
+                                             False)
+            A, Bm = _lin_step(x, u, dt, inv_l, integ)
+            g_u = [qu[i] + sum(Bm[t2][i] * laml[t2] for t2 in range(NX))
+                   for i in range(NU)]
+            lam_new = jnp.stack(
+                [qx[i] + sum(A[t2][i] * laml[t2] for t2 in range(NX))
+                 for i in range(NX)])
+            stat = jnp.maximum(stat,
+                               jnp.maximum(jnp.abs(g_u[0]),
+                                           jnp.abs(g_u[1])))
+            hs = _row_values(r)
+            for i, (lo, hi) in enumerate(bounds_k):
+                if hi is not None:
+                    viol = jnp.maximum(viol, hs[i] - hi)
+                if lo is not None:
+                    viol = jnp.maximum(viol, lo - hs[i])
+            cost = cost + _stage_cost_rows(x, u, xref_k, wq, wr)
+            merit = merit + _stage_cost_rows(x, u, xref_k, wq, wr) \
+                + _stage_psi(r, bounds_k, lam_lo, lam_hi, mu)
+            return (lam_new, stat, viol, cost, merit)
+
+        lam0 = jnp.stack(qHd)
+        z = jnp.zeros_like(zero_alpha)
+        _, stat, viol, cost, merit = jax.lax.fori_loop(
+            0, H, diag_body,
+            (lam0, z, jnp.maximum(violT, 0.0), cost_T,
+             cost_T + psi_T))
+        diag_ref[0] = stat
+        diag_ref[1] = viol
+        diag_ref[2] = cost
+        diag_ref[3] = merit
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+
+def eligible(cfg: S.SolverConfig, params: S.OcpParams) -> bool:
+    return (cfg.method == "al" and cfg.model == "ks"
+            and not cfg.boundary_rows
+            and params.obs_centers.ndim == 3          # static obstacle
+            and params.x_ref.shape[-1] == NX)
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("interpret",))
+def _solve_packed(cfg, x0p, xrefp, obsp, mindp, wp, Up, llp, lhp, mup, pvp,
+                  interpret=False):
+    tiles = x0p.shape[0]
+    H = cfg.horizon
+    kernel = _make_kernel(cfg, H)
+
+    def tile_spec(*mid):
+        nd = len(mid)
+        return pl.BlockSpec((1,) + mid + (_SUB, _LANES),
+                            lambda t: (t,) + (0,) * (nd + 2),
+                            memory_space=pltpu.VMEM)
+
+    def squeezed(*refs):
+        ins = refs[:10]
+        outs = refs[10:17]
+        scr = refs[17:]
+        kernel(*[r.at[0] for r in ins], *[r.at[0] for r in outs], *scr)
+
+    dtype = x0p.dtype
+    out_shape = (
+        jax.ShapeDtypeStruct((tiles, H + 1, NX, _SUB, _LANES), dtype),  # X
+        jax.ShapeDtypeStruct(Up.shape, dtype),
+        jax.ShapeDtypeStruct(llp.shape, dtype),
+        jax.ShapeDtypeStruct(lhp.shape, dtype),
+        jax.ShapeDtypeStruct(mup.shape, dtype),
+        jax.ShapeDtypeStruct(pvp.shape, dtype),
+        jax.ShapeDtypeStruct((tiles, 4, _SUB, _LANES), dtype),  # diag
+    )
+    return pl.pallas_call(
+        squeezed,
+        grid=(tiles,),
+        in_specs=[
+            tile_spec(NX), tile_spec(H + 1, NX), tile_spec(6), tile_spec(1),
+            tile_spec(NX + NU + NX),
+            tile_spec(H, NU), tile_spec(H + 1, NR), tile_spec(H + 1, NR),
+            tile_spec(H + 1, NR), tile_spec(H + 1, NR),
+        ],
+        out_specs=(
+            tile_spec(H + 1, NX), tile_spec(H, NU), tile_spec(H + 1, NR),
+            tile_spec(H + 1, NR), tile_spec(H + 1, NR),
+            tile_spec(H + 1, NR), tile_spec(4),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((H, NU * NX, _SUB, _LANES), dtype),   # K
+            pltpu.VMEM((H, NU, _SUB, _LANES), dtype),        # d
+        ],
+        input_output_aliases={5: 1, 6: 2, 7: 3, 8: 4, 9: 5},
+        # whole-solve state is VMEM-resident: ~10 MB of blocks per tile plus
+        # Mosaic's loop temporaries exceed the 16 MB default scoped limit;
+        # v5e has 128 MiB physical VMEM per core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x0p, xrefp, obsp, mindp, wp, Up, llp, lhp, mup, pvp)
+
+
+def solve_batch_fused(cfg: S.SolverConfig, params: S.OcpParams,
+                      state: S.SqpState,
+                      interpret: bool = False) -> S.Solution:
+    """Fused-kernel batched solve; same contract as ``sqp.solve_batch``.
+
+    Falls back to ``sqp_vec.solve_batch_vec`` when the problem shape is
+    outside the kernel's v1 envelope (see :func:`eligible`).
+    """
+    if not eligible(cfg, params):
+        from mpc_tpu.ops import sqp_vec
+        return sqp_vec.solve_batch_vec(cfg, params, state)
+    # no TPU attached (CPU tests): run the kernel through the interpreter
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    B = params.x0.shape[0]
+    H = cfg.horizon
+    padB = _cdiv(B, LANE_TILE) * LANE_TILE
+    dtype = params.x0.dtype
+
+    x0p = _pack(params.x0, padB)
+    xrefp = _pack(params.x_ref, padB)
+    obsp = _pack(params.obs_centers.reshape(B, 6), padB)
+    mindp = _pack(jnp.broadcast_to(params.min_dist.reshape(-1, 1), (B, 1)),
+                  padB)
+    wp = _pack(jnp.concatenate([params.weights.q, params.weights.r,
+                                params.weights.qN], axis=-1), padB)
+    # pad lanes with v=1 to keep the padded lanes' algebra finite (their
+    # results are discarded); zero states would 1/det on singular Quu
+    Up = _pack(state.U, padB)
+    llp = _pack(state.lam_lo, padB)
+    lhp = _pack(state.lam_hi, padB)
+    mup = _pack(jnp.maximum(state.mu, cfg.mu0), padB)
+    mup = jnp.where(mup <= 0.0, cfg.mu0, mup)
+    pvp = _pack(state.prev_viol, padB)
+
+    Xp, Unew, llo, lhi, mun, pvn, diag = _solve_packed(
+        cfg, x0p, xrefp, obsp, mindp, wp, Up, llp, lhp, mup, pvp,
+        interpret=interpret)
+
+    X = _unpack(Xp, B)
+    U = _unpack(Unew, B)
+    lam_lo = _unpack(llo, B)
+    lam_hi = _unpack(lhi, B)
+    mu = _unpack(mun, B)
+    prev_viol = _unpack(pvn, B)
+    diag = _unpack(diag, B)
+    stat, viol, cost, merit = diag[:, 0], diag[:, 1], diag[:, 2], diag[:, 3]
+    viol = jnp.maximum(viol, 0.0)
+
+    converged = (stat < cfg.tol_stat) & (viol < cfg.tol_feas)
+    feasible = viol < jnp.asarray(cfg.tol_infeas, dtype)
+    status = jnp.where(converged, 1,
+                       jnp.where(feasible, 0, -7)).astype(jnp.int32)
+    new_state = S.SqpState(U=U, lam_lo=lam_lo, lam_hi=lam_hi, mu=mu,
+                           prev_viol=prev_viol)
+    return S.Solution(X=X, U=U, state=new_state, status=status,
+                      kkt_stat=stat, viol=viol, cost=cost, merit=merit)

@@ -121,6 +121,15 @@ class SolverConfig:
                                      # 'ip' (RTI-SQP over the interior-point
                                      # stagewise QP, ops.ipqp — hard
                                      # linearized constraints per step)
+    engine: str = "auto"             # batched-path engine: 'auto' uses the
+                                     # fused Pallas whole-solve kernel
+                                     # (ops.fused_gn) when the problem is in
+                                     # its envelope (al/ks/static obstacle/
+                                     # no boundary rows), 'xla' forces the
+                                     # lanes-trailing XLA path, 'fused'
+                                     # forces the kernel (error if
+                                     # ineligible).  6.8-11.7x measured over
+                                     # the XLA path (FUSED_ABLATION.json)
     ip_sqp_iters: int = 5            # SQP linearizations per solve (ip mode).
                                      # 5, not 3: under actuation noise the
                                      # head-on-obstacle overtake needs the
@@ -156,6 +165,9 @@ class SolverConfig:
             raise ValueError(f"unknown lqr_backend '{self.lqr_backend}'")
         if self.method not in ("al", "ip"):
             raise ValueError(f"unknown method '{self.method}' (al|ip)")
+        if self.engine not in ("auto", "xla", "fused"):
+            raise ValueError(
+                f"unknown engine '{self.engine}' (auto|xla|fused)")
         if self.sqp_iters < 1 or self.al_iters < 1:
             raise ValueError("sqp_iters and al_iters must be >= 1")
 

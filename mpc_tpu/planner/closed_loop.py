@@ -325,7 +325,10 @@ def cold_start_state(lcfg: LoopConfig, params: LoopParams) -> sqp.SqpState:
     for i in range(lcfg.cold_start_solves):
         x_ref0 = ref_mod.window(params.track, jnp.asarray(0), scfg.horizon,
                                 lcfg.mode, x0=params.x_init[..., :dyn_mod.NX])
-        obs0 = params.obs_centers
+        # step-0 obstacle window (matches the loop body's view at step 0)
+        obs0 = (params.obs_centers if params.obs_track is None
+                else jax.lax.dynamic_slice(
+                    params.obs_track, (0, 0, 0), (scfg.horizon + 1, 3, 2)))
         if i == 0 and lcfg.warmup_obstacle_free:
             obs0 = jnp.full_like(obs0, -1e4)  # rows trivially satisfied
         ocp0 = sqp.OcpParams(x0=params.x_init, x_ref=x_ref0,
@@ -460,19 +463,31 @@ def closed_loop_batch(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
 
 @partial(jax.jit, static_argnums=0)
 def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
-    """Batched closed loop on the lanes-trailing hot path.
+    """Batched closed loop on the throughput hot path.
 
-    Same contract as ``closed_loop_batch``.  Uses the fully rows-native
-    solve (``ops.sqp_rows``) when eligible (AL method, no boundary rows),
-    else the partially-vectorized ``ops.sqp_vec``; falls back to the vmapped
+    Same contract as ``closed_loop_batch``.  Engine selection
+    (``SolverConfig.engine``): the fused Pallas whole-solve kernel
+    (``ops.fused_gn``, 6.8-11.7x over the XLA path on v5e —
+    FUSED_ABLATION.json) when the problem is in its envelope, else the
+    lanes-trailing XLA path (``ops.sqp_vec``); falls back to the vmapped
     path for the IP method.
     """
-    from mpc_tpu.ops import sqp_vec as sqp_vec_mod
+    from mpc_tpu.ops import fused_gn, sqp_vec as sqp_vec_mod
 
     scfg = lcfg.solver
     if scfg.method != "al":
         return closed_loop_batch(lcfg, params)
-    batched_solve = sqp_vec_mod.solve_batch_vec
+    fused_ok = (scfg.engine != "xla" and scfg.model == "ks"
+                and not scfg.boundary_rows and params.obs_track is None
+                # the kernel is TPU-compiled; CPU runs (tests) take the XLA
+                # path unless the caller forces interpret-mode explicitly
+                and (jax.default_backend() == "tpu"
+                     or scfg.engine == "fused"))
+    if scfg.engine == "fused" and not fused_ok:
+        raise ValueError("engine='fused' outside the kernel envelope "
+                         "(needs al/ks/static obstacle/no boundary rows)")
+    batched_solve = (fused_gn.solve_batch_fused if fused_ok
+                     else sqp_vec_mod.solve_batch_vec)
 
     n = params.x_init.shape[0]
     dtype = params.x_init.dtype
@@ -488,6 +503,14 @@ def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
                 x0=None if lcfg.progress_window else xl[..., :dyn_mod.NX])
             return ref, base
         return jax.vmap(one)(params.track, x, prev_bases)
+
+    def step_obs(step_idx):
+        """Per-stage obstacle window (moving-obstacle tracks) or static."""
+        if params.obs_track is None:
+            return params.obs_centers
+        return jax.vmap(lambda ot: jax.lax.dynamic_slice(
+            ot, (step_idx, 0, 0), (scfg.horizon + 1, 3, 2)))(
+                params.obs_track)
 
     def make_ocp(x, x_ref, obs_centers=None):
         return sqp.OcpParams(x0=x, x_ref=x_ref,
@@ -506,16 +529,17 @@ def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
     for i in range(lcfg.cold_start_solves):
         x_ref0, _ = batched_window(jnp.asarray(0), params.x_init,
                                    zero_bases)
-        obs0 = None
+        obs0 = step_obs(jnp.asarray(0))
         if i == 0 and lcfg.warmup_obstacle_free:
-            obs0 = jnp.full_like(params.obs_centers, -1e4)
+            obs0 = jnp.full_like(obs0, -1e4)
         state = batched_solve(
             wcfg, make_ocp(params.x_init, x_ref0, obs0), state).state
 
     def body(carry, step_idx):
         x, sqp_state, key, prev_bases = carry
         x_ref, bases = batched_window(step_idx, x, prev_bases)
-        sol = batched_solve(scfg, make_ocp(x, x_ref), sqp_state)
+        sol = batched_solve(scfg, make_ocp(x, x_ref, step_obs(step_idx)),
+                            sqp_state)
         key, sub = jax.random.split(key)
         noise = lcfg.noise_std * jax.random.normal(sub, (n, 2), dtype=dtype)
         u_apply = sol.U[:, 0] + noise

@@ -1,0 +1,95 @@
+"""Fused Pallas whole-solve kernel vs the vmapped/vec reference solvers.
+
+Runs the kernel in interpret mode on CPU (the suite backend); the compiled
+path is exercised by the TPU bench (tools/fused_ablation.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_tpu.ops import fused_gn, sqp, sqp_vec
+from tests.test_sqp import W_LF, straight_params
+
+
+def _batchify(params, n, key=0):
+    from mpc_tpu.parallel import batch as pb
+    b = pb.replicate_ocp(params, n)
+    return pb.perturb_x0(b, jax.random.PRNGKey(key),
+                         jnp.asarray([0.5, 0.2, 0.0, 0.5, 0.02],
+                                     jnp.float32))
+
+
+@pytest.mark.parametrize("formulation,integrator", [
+    ("forcespro", "rk4"),
+    ("casadi", "euler"),
+])
+def test_fused_matches_reference_solver(formulation, integrator):
+    H, B = 12, 4
+    cfg = sqp.SolverConfig(horizon=H, formulation=formulation,
+                           integrator=integrator,
+                           use_terminal_cost=(formulation == "forcespro"),
+                           sqp_iters=2, al_iters=2)
+    p = straight_params(H, v=16.0)
+    p = p._replace(x0=p.x0.at[3].set(14.0),
+                   obs_centers=jnp.array([[10.0, -1.6]] * 3))
+    params = _batchify(p, B)
+    state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
+
+    ref = sqp.solve_batch(cfg, params, state)
+    got = fused_gn.solve_batch_fused(cfg, params, state, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.X), np.asarray(ref.X),
+                               rtol=2e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got.viol), np.asarray(ref.viol),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost),
+                               rtol=1e-3, atol=1e-2)
+    # warm-start state fields carry over
+    np.testing.assert_allclose(np.asarray(got.state.mu),
+                               np.asarray(ref.state.mu), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.state.lam_lo),
+                               np.asarray(ref.state.lam_lo),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_fused_kkt_and_status_semantics():
+    """The in-kernel adjoint stationarity matches the AD-based residual."""
+    H, B = 10, 2
+    cfg = sqp.SolverConfig(horizon=H)
+    p = straight_params(H, v=15.0)
+    params = _batchify(p, B)
+    state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
+    ref = sqp_vec.solve_batch_vec(cfg, params, state)
+    got = fused_gn.solve_batch_fused(cfg, params, state, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.kkt_stat),
+                               np.asarray(ref.kkt_stat),
+                               rtol=5e-2, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got.status),
+                                  np.asarray(ref.status))
+
+
+def test_fused_warm_start_improves():
+    """Re-solving from the returned state keeps improving (RTI contract)."""
+    H, B = 10, 2
+    cfg = sqp.SolverConfig(horizon=H, sqp_iters=2, al_iters=2)
+    p = straight_params(H, v=15.0)
+    params = _batchify(p, B)
+    state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
+    s1 = fused_gn.solve_batch_fused(cfg, params, state, interpret=True)
+    s2 = fused_gn.solve_batch_fused(cfg, params, s1.state, interpret=True)
+    assert float(jnp.max(s2.kkt_stat)) <= float(jnp.max(s1.kkt_stat)) + 1e-5
+
+
+def test_fused_fallback_on_ineligible():
+    """Boundary rows / ip method fall back to the vec path transparently."""
+    H, B = 8, 2
+    cfg = sqp.SolverConfig(horizon=H, method="ip")
+    p = straight_params(H)
+    params = _batchify(p, B)
+    state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
+    assert not fused_gn.eligible(cfg, params)
+    sol = fused_gn.solve_batch_fused(cfg, params, state)
+    assert sol.U.shape == (B, H, 2)

@@ -1,5 +1,6 @@
 """Moving-obstacle tracking (capability beyond the reference, which freezes
 dynamic obstacles at their initial state — configuration.py:472-476)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -89,3 +90,47 @@ def test_obstacle_track_windowing_in_loop(tmp_path):
     X = np.asarray(res.X)
     assert X.shape[0] == c.iter_length
     assert np.isfinite(X).all()
+
+
+def test_obstacle_track_respected_by_batched_vec_loop():
+    """closed_loop_batch_vec must window the moving-obstacle track per step
+    (it silently froze obstacles before round 2).
+
+    The obstacle vacates the lane laterally over the run: a track-aware
+    planner sails nearly straight (the blocker is gone when the ego
+    arrives), a frozen-obstacle planner swerves.  Also checks vec==vmapped
+    on a short, non-chaotic prefix.
+    """
+    import dataclasses
+    from mpc_tpu.io.config import load_config
+    from asset_paths import CFG, SCN
+
+    c = load_config(f"{CFG}/config_CA_ZAM_Over-1_1.yaml", SCN)
+    ox = c.static_obstacle["position_x"]
+    oy = c.static_obstacle["position_y"]
+    traj = np.stack([
+        np.full(40, ox),
+        np.concatenate([np.linspace(oy, oy + 12.0, 10),
+                        np.full(30, oy + 12.0)]),
+        np.zeros(40)], 1)
+    c = dataclasses.replace(c, obstacle_trajectory=traj)
+    lcfg = cl.make_loop_config(c, noised=False, method="al")
+    params = cl.make_loop_params(c, lcfg)
+    batched = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (2,) + x.shape)
+        if x is not None else None, params, is_leaf=lambda x: x is None)
+    res_vec = cl.closed_loop_batch_vec(lcfg, batched)
+    # vec matches the vmapped loop before chaotic amplification sets in
+    res_ref = cl.closed_loop_batch(lcfg, batched)
+    dev10 = np.abs(np.asarray(res_vec.X)[:, :10]
+                   - np.asarray(res_ref.X)[:, :10]).max()
+    assert dev10 < 0.05, dev10
+    # track-aware: obstacle has cleared the lane by arrival -> no swerve
+    y_moving = np.abs(np.asarray(res_vec.X)[0, :, 1]
+                      - np.asarray(params.track.path)[:lcfg.n_steps, 1])
+    frozen = batched._replace(obs_track=None)
+    res_frozen = cl.closed_loop_batch_vec(lcfg, frozen)
+    y_frozen = np.abs(np.asarray(res_frozen.X)[0, :, 1]
+                      - np.asarray(params.track.path)[:lcfg.n_steps, 1])
+    assert y_moving.max() < 0.5 * y_frozen.max() + 0.1, (
+        y_moving.max(), y_frozen.max())

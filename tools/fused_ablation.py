@@ -1,0 +1,66 @@
+"""Fused Pallas whole-solve kernel vs the XLA lanes-trailing path.
+
+VERDICT round-1 bar: kernel path >= 1.3x faster than ``sqp_vec`` at
+B=2048 / H=30, or the Pallas modules get retired.  Run on the real TPU:
+
+    timeout 1800 python tools/fused_ablation.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_tpu.ops import fused_gn, sqp, sqp_vec
+from mpc_tpu.utils import profiling
+from tools.pscan_ablation import make_batch
+
+
+def main():
+    results = []
+    for B, H, iters in [(2048, 30, (2, 3)), (2048, 30, (3, 4)),
+                        (4096, 30, (2, 3)), (1024, 9, (2, 3))]:
+        al, gn = iters
+        cfg = sqp.SolverConfig(horizon=H, al_iters=al, sqp_iters=gn)
+        params = make_batch(B, H)
+        state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
+
+        t_vec = profiling.time_jitted(
+            lambda p, s, c=cfg: sqp_vec.solve_batch_vec(c, p, s),
+            params, state, reps=5, warmup=1)
+        t_fused = profiling.time_jitted(
+            lambda p, s, c=cfg: fused_gn.solve_batch_fused(c, p, s),
+            params, state, reps=5, warmup=1)
+
+        # correctness spot check on the compiled path
+        ref = sqp_vec.solve_batch_vec(cfg, params, state)
+        got = fused_gn.solve_batch_fused(cfg, params, state)
+        du = float(jnp.max(jnp.abs(got.U - ref.U)))
+        ok = int(jnp.sum(got.status >= 0))
+
+        row = {
+            "B": B, "H": H, "al_x_gn": f"{al}x{gn}",
+            "vec_ms": round(1e3 * t_vec, 3),
+            "fused_ms": round(1e3 * t_fused, 3),
+            "speedup": round(t_vec / t_fused, 3),
+            "vec_us_per_solve": round(1e6 * t_vec / B, 2),
+            "fused_us_per_solve": round(1e6 * t_fused / B, 2),
+            "max_dU_vs_vec": round(du, 5),
+            "feasible": ok,
+            "platform": jax.default_backend(),
+        }
+        print(json.dumps(row), flush=True)
+        results.append(row)
+    with open(os.path.join(REPO, "FUSED_ABLATION.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,6 +1,7 @@
 """Fused Pallas TPU kernel: the ENTIRE batched AL-SQP solve in one launch.
 
-Round-1 fused only the Riccati backward sweep (``ops.pallas_riccati``) and
+Round-1 fused only the Riccati backward sweep (now retired to
+``tools/ablation/pallas_riccati.py``) and
 lost to XLA because the win was never the sweep: the GN-phase breakdown at
 B=2048/H=30 (``tools/gn_breakdown.py``, PARITY.md) shows the jacfwd-built
 (B, H+1, 14, 7) row Jacobian + einsum Gauss-Newton assembly and the HBM
@@ -23,7 +24,7 @@ multipliers, gains.  No (B, H, ...) intermediate ever round-trips HBM.
 Layout (the tiny-matrix trick, SURVEY.md §7 "hard parts"): every per-lane
 scalar is an (8, 128) vector register over the 1024-lane tile; 5x5 algebra
 unrolls into VPU FMAs on those registers (same convention as
-``ops.pallas_riccati`` / ``ops.riccati_vec``).
+``ops.riccati_vec``).
 
 Key trick for the line search: the iLQR iterate is always dynamics-
 consistent, so a feedback rollout at alpha=0 reproduces (X, U) exactly.
@@ -46,6 +47,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -464,8 +466,9 @@ def _read_vec(ref, k, n):
     return [v[i] for i in range(n)]
 
 
-def _make_kernel(cfg: S.SolverConfig, H: int):
-    consts = {
+def make_consts(cfg: S.SolverConfig) -> dict:
+    """Static per-config scalars shared by the fused kernels (AL + IP)."""
+    return {
         "formulation": cfg.formulation,
         "inv_l": 1.0 / cfg.wheelbase,
         "a_max": float(cfg.a_max),
@@ -476,6 +479,10 @@ def _make_kernel(cfg: S.SolverConfig, H: int):
         "d_lo": float(cfg.bounds.x_lo[2]), "d_hi": float(cfg.bounds.x_hi[2]),
         "v_lo": float(cfg.bounds.x_lo[3]), "v_hi": float(cfg.bounds.x_hi[3]),
     }
+
+
+def _make_kernel(cfg: S.SolverConfig, H: int):
+    consts = make_consts(cfg)
     dt = float(cfg.dt)
     inv_l = consts["inv_l"]
     integ = cfg.integrator
@@ -888,15 +895,27 @@ def solve_batch_fused(cfg: S.SolverConfig, params: S.OcpParams,
     padB = _cdiv(B, LANE_TILE) * LANE_TILE
     dtype = params.x0.dtype
 
-    x0p = _pack(params.x0, padB)
-    xrefp = _pack(params.x_ref, padB)
-    obsp = _pack(params.obs_centers.reshape(B, 6), padB)
-    mindp = _pack(jnp.broadcast_to(params.min_dist.reshape(-1, 1), (B, 1)),
-                  padB)
-    wp = _pack(jnp.concatenate([params.weights.q, params.weights.r,
-                                params.weights.qN], axis=-1), padB)
-    # pad lanes with v=1 to keep the padded lanes' algebra finite (their
-    # results are discarded); zero states would 1/det on singular Quu
+    # Padded lanes (B -> padB) get a benign synthetic problem — v=1 state,
+    # unit weights, far-away obstacle — so their algebra stays well away from
+    # singular Quu / divide-by-zero instead of leaning on `reg` alone.  Their
+    # results are sliced off by _unpack.
+    def pad_rows(x, row):
+        if padB == B:
+            return x
+        fill = jnp.broadcast_to(jnp.asarray(row, x.dtype),
+                                (padB - B,) + x.shape[1:])
+        return jnp.concatenate([x, fill], axis=0)
+
+    benign_x = np.zeros((NX,), np.float32)
+    benign_x[3] = 1.0  # v = 1
+    x0p = _pack(pad_rows(params.x0, benign_x), padB)
+    xrefp = _pack(pad_rows(params.x_ref, benign_x), padB)
+    obsp = _pack(pad_rows(params.obs_centers.reshape(B, 6), -1e4), padB)
+    mindp = _pack(pad_rows(
+        jnp.broadcast_to(params.min_dist.reshape(-1, 1), (B, 1)), 0.0), padB)
+    wp = _pack(pad_rows(jnp.concatenate(
+        [params.weights.q, params.weights.r, params.weights.qN], axis=-1),
+        1.0), padB)
     Up = _pack(state.U, padB)
     llp = _pack(state.lam_lo, padB)
     lhp = _pack(state.lam_hi, padB)

@@ -37,6 +37,7 @@ from mpc_tpu.ops import riccati
 
 NX = 5  # KS default; every kernel below derives the actual NX/NU from QpData
 NU = 2
+_WARM_KAPPA = 100.0  # warm-start dual clip band around the central path
 
 
 class QpData(NamedTuple):
@@ -79,7 +80,21 @@ def _rows_value(qp: QpData, dX, dU):
     return jnp.einsum("krz,kz->kr", qp.J, dz) + qp.h0
 
 
-def init_ip(qp: QpData, mu0: float = 1.0, s_min: float = 1e-2) -> IpState:
+def init_ip(qp: QpData, mu0: float = 1.0, s_min: float = 1e-2,
+            z_lo0: jax.Array | None = None,
+            z_hi0: jax.Array | None = None) -> IpState:
+    """Cold (default) or dual-warm-started IP state.
+
+    Warm start (``z_lo0``/``z_hi0`` given, e.g. shifted duals from the
+    previous MPC step): carried duals are clipped to a band of factor
+    ``_WARM_KAPPA`` around the central-path value mu0/s.  Rows that were
+    active keep (capped) large duals — the RTI lever that lets a single
+    warm QP per step stay feasible — while the clip bounds the initial
+    complementarity spread, preventing the multiplicative dual blow-up that
+    raw carried duals cause on rows violated at the new linearization
+    (dz ~ -(z/s) ds grows z by |ds|/s per Newton step when s = s_min).
+    Zero carried duals (cold state) reduce to the cold init exactly.
+    """
     dX = jnp.zeros((qp.A.shape[0] + 1, qp.Q.shape[-1]), qp.A.dtype)
     dU = jnp.zeros((qp.A.shape[0], qp.R.shape[-1]), qp.A.dtype)
     c = qp.h0
@@ -87,8 +102,16 @@ def init_ip(qp: QpData, mu0: float = 1.0, s_min: float = 1e-2) -> IpState:
     m_hi = jnp.isfinite(qp.hi)
     s_lo = jnp.where(m_lo, jnp.maximum(c - qp.lo, s_min), 1.0)
     s_hi = jnp.where(m_hi, jnp.maximum(qp.hi - c, s_min), 1.0)
-    z_lo = jnp.where(m_lo, mu0 / s_lo, 0.0)
-    z_hi = jnp.where(m_hi, mu0 / s_hi, 0.0)
+    z_lo = mu0 / s_lo
+    z_hi = mu0 / s_hi
+    if z_lo0 is not None:
+        z_lo = jnp.clip(jnp.where(z_lo0 > 0, z_lo0, z_lo),
+                        z_lo / _WARM_KAPPA, z_lo * _WARM_KAPPA)
+    if z_hi0 is not None:
+        z_hi = jnp.clip(jnp.where(z_hi0 > 0, z_hi0, z_hi),
+                        z_hi / _WARM_KAPPA, z_hi * _WARM_KAPPA)
+    z_lo = jnp.where(m_lo, z_lo, 0.0)
+    z_hi = jnp.where(m_hi, z_hi, 0.0)
     return IpState(dX=dX, dU=dU, s_lo=s_lo, s_hi=s_hi, z_lo=z_lo,
                    z_hi=z_hi, mu=jnp.asarray(mu0, qp.A.dtype))
 
@@ -187,9 +210,11 @@ def ip_iteration(qp: QpData, st: IpState, reg: float,
 
 
 def solve_qp(qp: QpData, n_iters: int = 10, reg: float = 1e-7,
-             mu0: float = 1.0) -> IpState:
+             mu0: float = 1.0,
+             z_lo0: jax.Array | None = None,
+             z_hi0: jax.Array | None = None) -> IpState:
     """Fixed-iteration IP solve of the stagewise QP (single lane)."""
-    st = init_ip(qp, mu0)
+    st = init_ip(qp, mu0, z_lo0=z_lo0, z_hi0=z_hi0)
 
     def body(s, _):
         return ip_iteration(qp, s, reg), None

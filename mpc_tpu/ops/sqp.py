@@ -139,6 +139,14 @@ class SolverConfig:
                                      # iterate back into the blocked lane
                                      # (seed-swept in tests/test_robustness)
     ip_iters: int = 10               # IP Newton steps per QP (ip mode)
+    ip_warm_duals: bool = False      # warm-start the FIRST QP's row duals
+                                     # from the previous MPC step's final
+                                     # duals (carried shifted in
+                                     # state.lam_lo/lam_hi) — the lever that
+                                     # makes 1-QP-per-step true RTI feasible
+                                     # (FORCESPRO maxqps=1 deploys warm-
+                                     # started BFGS duals the same way,
+                                     # optimizer.py:237)
     ip_ls_rho: float = 300.0         # exact-penalty weight in the ip-mode
                                      # line search (objective + rho * viol).
                                      # Too large (1e3) accepts any
@@ -571,7 +579,7 @@ def _solve_ip(cfg: SolverConfig, params: OcpParams,
     nr = nrows(cfg)
 
     def sqp_iter(carry, _):
-        X, U, _, _ = carry
+        X, U, z_lo_c, z_hi_c = carry
         A = jax.vmap(jax.jacfwd(step, argnums=0))(X[:-1], U)
         B = jax.vmap(jax.jacfwd(step, argnums=1))(X[:-1], U)
         defect = jax.vmap(step)(X[:-1], U) - X[1:]
@@ -599,7 +607,9 @@ def _solve_ip(cfg: SolverConfig, params: OcpParams,
         qp = ipqp.QpData(Q=Q_cost, R=R_cost, M=M_cost, qx=qx, qu=qu,
                          QH=QH, qH=qH, A=A, B=B, r=defect,
                          J=J, h0=h0, lo=lo, hi=hi)
-        st = ipqp.solve_qp(qp, n_iters=cfg.ip_iters, reg=cfg.reg)
+        st = ipqp.solve_qp(qp, n_iters=cfg.ip_iters, reg=cfg.reg,
+                           z_lo0=(z_lo_c if cfg.ip_warm_duals else None),
+                           z_hi0=(z_hi_c if cfg.ip_warm_duals else None))
         dU_dir = jnp.nan_to_num(st.dU, nan=0.0, posinf=0.0, neginf=0.0)
         # exact-penalty filter line search on the TRUE nonlinear problem:
         # the QP respects linearized rows, but quartic rows (friction) can
@@ -630,9 +640,14 @@ def _solve_ip(cfg: SolverConfig, params: OcpParams,
         # residual, reference optimizer.py:556-558)
         return (X_new, U_new, st.z_lo, st.z_hi), None
 
-    z0 = jnp.zeros((H + 1, nr), dtype)
-    (X, U, z_lo, z_hi), _ = jax.lax.scan(sqp_iter, (X, U, z0, z0), None,
-                                         length=cfg.ip_sqp_iters)
+    # carried duals: shifted finals from the previous MPC step live in
+    # state.lam_lo/lam_hi (stored below); zeros on a cold start
+    z0_lo = state.lam_lo if cfg.ip_warm_duals else jnp.zeros((H + 1, nr),
+                                                             dtype)
+    z0_hi = state.lam_hi if cfg.ip_warm_duals else jnp.zeros((H + 1, nr),
+                                                             dtype)
+    (X, U, z_lo, z_hi), _ = jax.lax.scan(sqp_iter, (X, U, z0_lo, z0_hi),
+                                         None, length=cfg.ip_sqp_iters)
 
     # final consistency rollout (closes multiple-shooting defects) + clamp
     u_lo, u_hi, _, _ = cfg.bounds.as_arrays(dtype)
@@ -665,7 +680,10 @@ def _solve_ip(cfg: SolverConfig, params: OcpParams,
     status = jnp.where(converged, 1,
                        jnp.where(feasible, 0, -7)).astype(jnp.int32)
 
-    new_state = state._replace(U=U, prev_viol=viol)
+    # store the final QP duals so the next MPC step can warm-start them
+    # (shift-and-hold applies to lam_lo/lam_hi in _shift_state)
+    new_state = state._replace(U=U, lam_lo=z_lo, lam_hi=z_hi,
+                               prev_viol=viol)
     return Solution(X=X, U=U, state=new_state, status=status,
                     kkt_stat=stat, viol=viol_max,
                     cost=_objective(cfg, X, U, params),

@@ -89,6 +89,8 @@ class LoopResult(NamedTuple):
     status: jax.Array   # (T,) per-step solver status
     viol: jax.Array     # (T,) per-step max constraint violation
     cost: jax.Array     # (T,) per-step objective values
+    stat: jax.Array = None  # (T,) per-step KKT stationarity residual
+                            # (observability for status==1 calibration)
 
 
 def make_loop_config(cfg: PlanningConfig,
@@ -382,15 +384,17 @@ def run_closed_loop(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
 
         # shift-and-hold warm start (optimizer.py:652-653)
         warm = _shift_state(sol.state)
-        out = (x, u_apply, sol.status, sol.viol, sol.cost)
+        out = (x, u_apply, sol.status, sol.viol, sol.cost,
+               sol.kkt_stat)
         return (x_next, warm, key, jnp.asarray(base, jnp.int32)), out
 
     init_state = cold_start_state(lcfg, params)
     carry0 = (params.x_init, init_state, params.noise_key,
               jnp.asarray(0, jnp.int32))
-    _, (X, U, status, viol, cost) = jax.lax.scan(
+    _, (X, U, status, viol, cost, stat) = jax.lax.scan(
         body, carry0, jnp.arange(lcfg.n_steps))
-    return LoopResult(X=X, U=U, status=status, viol=viol, cost=cost)
+    return LoopResult(X=X, U=U, status=status, viol=viol, cost=cost,
+                      stat=stat)
 
 
 @partial(jax.jit, static_argnums=0)
@@ -438,13 +442,15 @@ def closed_loop_chunk(lcfg: LoopConfig, params: LoopParams, carry,
         u_apply = sol.U[0] + noise
         x_next = _plant_step(lcfg, x, u_apply)
         warm = _shift_state(sol.state)
-        out = (x, u_apply, sol.status, sol.viol, sol.cost)
+        out = (x, u_apply, sol.status, sol.viol, sol.cost,
+               sol.kkt_stat)
         return (step_idx + 1, x_next, warm, key,
                 jnp.asarray(base, jnp.int32)), out
 
-    carry, (X, U, status, viol, cost) = jax.lax.scan(
+    carry, (X, U, status, viol, cost, stat) = jax.lax.scan(
         body, carry, None, length=n_steps)
-    return carry, LoopResult(X=X, U=U, status=status, viol=viol, cost=cost)
+    return carry, LoopResult(X=X, U=U, status=status, viol=viol, cost=cost,
+                             stat=stat)
 
 
 def init_carry(lcfg: LoopConfig, params: LoopParams):
@@ -472,22 +478,29 @@ def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
     lanes-trailing XLA path (``ops.sqp_vec``); falls back to the vmapped
     path for the IP method.
     """
-    from mpc_tpu.ops import fused_gn, sqp_vec as sqp_vec_mod
+    from mpc_tpu.ops import fused_gn, fused_ip, sqp_vec as sqp_vec_mod
 
     scfg = lcfg.solver
-    if scfg.method != "al":
-        return closed_loop_batch(lcfg, params)
     fused_ok = (scfg.engine != "xla" and scfg.model == "ks"
                 and not scfg.boundary_rows and params.obs_track is None
-                # the kernel is TPU-compiled; CPU runs (tests) take the XLA
-                # path unless the caller forces interpret-mode explicitly
+                # the kernels are TPU-compiled; CPU runs (tests) take the
+                # XLA path unless the caller forces interpret explicitly
                 and (jax.default_backend() == "tpu"
                      or scfg.engine == "fused"))
-    if scfg.engine == "fused" and not fused_ok:
-        raise ValueError("engine='fused' outside the kernel envelope "
-                         "(needs al/ks/static obstacle/no boundary rows)")
-    batched_solve = (fused_gn.solve_batch_fused if fused_ok
-                     else sqp_vec_mod.solve_batch_vec)
+    if scfg.method == "ip":
+        # hard-constrained (forcespro-parity) mode: the fused RTI-SQP/IP
+        # kernel when eligible, else the per-lane vmapped path
+        if not fused_ok:
+            return closed_loop_batch(lcfg, params)
+        batched_solve = fused_ip.solve_batch_fused_ip
+    elif scfg.method != "al":
+        return closed_loop_batch(lcfg, params)
+    else:
+        if scfg.engine == "fused" and not fused_ok:
+            raise ValueError("engine='fused' outside the kernel envelope "
+                             "(needs ks/static obstacle/no boundary rows)")
+        batched_solve = (fused_gn.solve_batch_fused if fused_ok
+                         else sqp_vec_mod.solve_batch_vec)
 
     n = params.x_init.shape[0]
     dtype = params.x_init.dtype
@@ -546,16 +559,18 @@ def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
         x_next = jax.vmap(lambda xl, ul: _plant_step(lcfg, xl, ul))(
             x, u_apply)
         warm = jax.vmap(_shift_state)(sol.state)
-        out = (x, u_apply, sol.status, sol.viol, sol.cost)
+        out = (x, u_apply, sol.status, sol.viol, sol.cost,
+               sol.kkt_stat)
         return (x_next, warm, key, jnp.asarray(bases, jnp.int32)), out
 
     key0 = params.noise_key[0] if params.noise_key.ndim > 1 \
         else params.noise_key
     carry0 = (params.x_init, state, key0, zero_bases)
-    _, (X, U, status, viol, cost) = jax.lax.scan(
+    _, (X, U, status, viol, cost, stat) = jax.lax.scan(
         body, carry0, jnp.arange(lcfg.n_steps))
     # scan stacks per-step outputs on axis 0: (T, B, ...) -> (B, T, ...)
     return LoopResult(X=jnp.swapaxes(X, 0, 1), U=jnp.swapaxes(U, 0, 1),
                       status=jnp.swapaxes(status, 0, 1),
                       viol=jnp.swapaxes(viol, 0, 1),
-                      cost=jnp.swapaxes(cost, 0, 1))
+                      cost=jnp.swapaxes(cost, 0, 1),
+                      stat=jnp.swapaxes(stat, 0, 1))

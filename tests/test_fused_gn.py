@@ -83,6 +83,26 @@ def test_fused_warm_start_improves():
     assert float(jnp.max(s2.kkt_stat)) <= float(jnp.max(s1.kkt_stat)) + 1e-5
 
 
+@pytest.mark.parametrize("B", [1, 5])
+def test_fused_padded_lanes_are_benign(B):
+    """B not a multiple of the 1024-lane tile: padded lanes must not poison
+    the real lanes (benign v=1/unit-weight pad problem, fused_gn pad_rows).
+    Real-lane outputs must be finite and match the XLA path."""
+    H = 8
+    cfg = sqp.SolverConfig(horizon=H, sqp_iters=2, al_iters=2)
+    p = straight_params(H, v=15.0)
+    params = _batchify(p, B)
+    state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
+    ref = sqp_vec.solve_batch_vec(cfg, params, state)
+    got = fused_gn.solve_batch_fused(cfg, params, state, interpret=True)
+    for leaf in jax.tree.leaves(got._replace(state=None)):
+        assert np.all(np.isfinite(np.asarray(leaf, np.float64)))
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.viol), np.asarray(ref.viol),
+                               atol=1e-3)
+
+
 def test_fused_fallback_on_ineligible():
     """Boundary rows / ip method fall back to the vec path transparently."""
     H, B = 8, 2

@@ -1,0 +1,105 @@
+"""Fused Pallas IP (hard-constrained RTI-SQP) kernel vs the vmapped spec.
+
+``sqp._solve_ip`` + ``ops.ipqp`` is the executable spec; the kernel
+(``ops.fused_ip``) must reproduce it.  Interpret mode on CPU; the compiled
+path is exercised by the TPU ablation (tools/fused_ablation.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_tpu.ops import fused_ip, sqp
+from tests.test_sqp import straight_params
+
+
+def _batchify(params, n, key=0):
+    from mpc_tpu.parallel import batch as pb
+    b = pb.replicate_ocp(params, n)
+    return pb.perturb_x0(b, jax.random.PRNGKey(key),
+                         jnp.asarray([0.5, 0.2, 0.0, 0.5, 0.02],
+                                     jnp.float32))
+
+
+def _obstacle_params(H, v=14.0):
+    p = straight_params(H, v=v)
+    return p._replace(x0=p.x0.at[3].set(v),
+                      obs_centers=jnp.array([[12.0, -1.6]] * 3))
+
+
+@pytest.mark.parametrize("warm", [False, True])
+def test_fused_ip_matches_reference_solver(warm):
+    H, B = 9, 4
+    cfg = sqp.SolverConfig(horizon=H, method="ip", ip_sqp_iters=2,
+                           ip_iters=6, ip_warm_duals=warm)
+    params = _batchify(_obstacle_params(H), B)
+    state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
+
+    ref = sqp.solve_batch(cfg, params, state)
+    got = fused_ip.solve_batch_fused_ip(cfg, params, state, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.X), np.asarray(ref.X),
+                               rtol=2e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got.viol), np.asarray(ref.viol),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost),
+                               rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(got.kkt_stat),
+                               np.asarray(ref.kkt_stat),
+                               rtol=5e-2, atol=5e-3)
+    np.testing.assert_array_equal(np.asarray(got.status),
+                                  np.asarray(ref.status))
+    # carried duals match (warm-start contract across MPC steps)
+    np.testing.assert_allclose(np.asarray(got.state.lam_hi),
+                               np.asarray(ref.state.lam_hi),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_fused_ip_warm_restart_consistency():
+    """Warm re-solve through the kernel matches the XLA warm re-solve."""
+    H, B = 9, 2
+    cfg = sqp.SolverConfig(horizon=H, method="ip", ip_sqp_iters=1,
+                           ip_iters=6, ip_warm_duals=True)
+    params = _batchify(_obstacle_params(H), B)
+    state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
+    r1 = sqp.solve_batch(cfg, params, state)
+    g1 = fused_ip.solve_batch_fused_ip(cfg, params, state, interpret=True)
+    r2 = sqp.solve_batch(cfg, params, r1.state)
+    g2 = fused_ip.solve_batch_fused_ip(cfg, params, g1.state,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(g2.U), np.asarray(r2.U),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(g2.viol), np.asarray(r2.viol),
+                               atol=1e-3)
+
+
+def test_fused_ip_padded_lanes_are_benign():
+    """B=3 pads to a full 1024-lane tile; outputs stay finite + exact."""
+    H, B = 8, 3
+    cfg = sqp.SolverConfig(horizon=H, method="ip", ip_sqp_iters=1,
+                           ip_iters=4)
+    params = _batchify(_obstacle_params(H), B)
+    state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
+    ref = sqp.solve_batch(cfg, params, state)
+    got = fused_ip.solve_batch_fused_ip(cfg, params, state, interpret=True)
+    for leaf in jax.tree.leaves(got._replace(state=None)):
+        assert np.all(np.isfinite(np.asarray(leaf, np.float64)))
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fused_ip_fallback_on_ineligible():
+    """Boundary rows / moving obstacles fall back to the vmapped path."""
+    H, B = 6, 2
+    cfg = sqp.SolverConfig(horizon=H, method="ip")
+    p = _obstacle_params(H)
+    # moving obstacle: (H+1, 3, 2) centers -> ineligible
+    p = p._replace(obs_centers=jnp.broadcast_to(
+        p.obs_centers[None], (H + 1, 3, 2)))
+    params = _batchify(p, B)
+    state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
+    assert not fused_ip.eligible_ip(cfg, params)
+    sol = fused_ip.solve_batch_fused_ip(cfg, params, state)
+    assert sol.U.shape == (B, H, 2)

@@ -88,20 +88,3 @@ def test_closed_loop_batch_vec_matches_reference():
                                   np.asarray(r1.status) >= 0)
 
 
-def test_solve_batch_rows_matches_reference():
-    """Experimental rows-native solve must track the reference exactly."""
-    from mpc_tpu.ops import sqp_rows
-    cfg = sqp.SolverConfig(horizon=10)
-    base = straight_params(10, v=17.0)
-    n = 4
-    from mpc_tpu.parallel import batch as pb
-    params = pb.replicate_ocp(base, n)
-    params = pb.perturb_x0(params, jax.random.PRNGKey(3),
-                           jnp.array([0.4, 0.1, 0.0, 0.3, 0.0]))
-    states = jax.tree.map(
-        lambda x: jnp.broadcast_to(x[None], (n,) + x.shape),
-        sqp.init_state(cfg))
-    ref = sqp.solve_batch(cfg, params, states)
-    rows = sqp_rows.solve_batch_rows_jit(cfg, params, states)
-    np.testing.assert_allclose(np.asarray(rows.U), np.asarray(ref.U),
-                               rtol=1e-3, atol=1e-3)

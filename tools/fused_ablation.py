@@ -1,7 +1,9 @@
-"""Fused Pallas whole-solve kernel vs the XLA lanes-trailing path.
+"""Fused Pallas whole-solve kernels vs their XLA reference paths.
 
-VERDICT round-1 bar: kernel path >= 1.3x faster than ``sqp_vec`` at
-B=2048 / H=30, or the Pallas modules get retired.  Run on the real TPU:
+AL rows (round-1 bar): kernel >= 1.3x over ``sqp_vec`` at B=2048 / H=30.
+IP rows (round-2 bar, VERDICT item 1): the fused hard-constrained RTI-SQP
+kernel (``ops.fused_ip``) >= 5x over the vmapped ``sqp.solve_batch``
+ip path at B=2048 / H=30.  Run on the real TPU:
 
     timeout 1800 python tools/fused_ablation.py
 """
@@ -18,13 +20,50 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mpc_tpu.ops import fused_gn, sqp, sqp_vec
+from mpc_tpu.ops import fused_gn, fused_ip, sqp, sqp_vec
 from mpc_tpu.utils import profiling
 from tools.pscan_ablation import make_batch
 
 
+def ip_rows(results):
+    """Fused IP kernel vs the vmapped ip path (forcespro-parity mode)."""
+    for B, H, sqp_i, ip_i, warm in [(2048, 30, 5, 10, False),
+                                    (2048, 9, 5, 10, False),
+                                    (2048, 9, 1, 10, True)]:
+        cfg = sqp.SolverConfig(horizon=H, method="ip", ip_sqp_iters=sqp_i,
+                               ip_iters=ip_i, ip_warm_duals=warm)
+        params = make_batch(B, H)
+        state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
+
+        t_vmap = profiling.time_jitted(
+            lambda p, s, c=cfg: sqp.solve_batch(c, p, s),
+            params, state, reps=3, warmup=1)
+        t_fused = profiling.time_jitted(
+            lambda p, s, c=cfg: fused_ip.solve_batch_fused_ip(c, p, s),
+            params, state, reps=3, warmup=1)
+
+        ref = sqp.solve_batch(cfg, params, state)
+        got = fused_ip.solve_batch_fused_ip(cfg, params, state)
+        du = float(jnp.max(jnp.abs(got.U - ref.U)))
+        ok = int(jnp.sum(got.status >= 0))
+        row = {
+            "B": B, "H": H, "mode": "ip",
+            "sqp_x_ip": f"{sqp_i}x{ip_i}", "warm_duals": warm,
+            "vmap_ms": round(1e3 * t_vmap, 3),
+            "fused_ms": round(1e3 * t_fused, 3),
+            "speedup": round(t_vmap / t_fused, 3),
+            "fused_us_per_solve": round(1e6 * t_fused / B, 2),
+            "max_dU_vs_vmap": round(du, 5),
+            "feasible": ok,
+            "platform": jax.default_backend(),
+        }
+        print(json.dumps(row), flush=True)
+        results.append(row)
+
+
 def main():
     results = []
+    ip_rows(results)
     for B, H, iters in [(2048, 30, (2, 3)), (2048, 30, (3, 4)),
                         (4096, 30, (2, 3)), (1024, 9, (2, 3))]:
         al, gn = iters

@@ -32,10 +32,14 @@ consistent, so a feedback rollout at alpha=0 reproduces (X, U) exactly.
 alpha is applied in ONE extra rollout — no candidate trajectories are ever
 stored or where-selected.
 
-Eligibility (v1): KS model, method='al', no boundary rows, static obstacle,
-NU=2.  ``solve_batch_fused`` falls back to ``sqp_vec.solve_batch_vec``
-otherwise.  Equivalence with the vmapped reference solver is tested in
-``tests/test_fused_gn.py`` (interpret mode on CPU, compiled on TPU).
+Eligibility: KS model, method='al', NU=2; static ((B, 3, 2)) or moving
+((B, H+1, 3, 2) per-stage) obstacle centers; optional road-boundary rows
+via per-stage linearization at the warm-start trajectory
+(``linearize_boundaries`` — exact for straight boundary segments,
+refreshed every solve in closed loop).  ``solve_batch_fused`` falls back
+to ``sqp_vec.solve_batch_vec`` otherwise.  Equivalence with the vmapped
+reference solver is tested in ``tests/test_fused_gn.py`` (interpret mode
+on CPU, compiled on TPU).
 
 Reference analog: the whole generated FORCESPRO C solver
 (``test/FORCESNLPsolver/lib/``) — one self-contained native solve per call.
@@ -95,6 +99,64 @@ def _unpack(x: jax.Array, B: int) -> jax.Array:
     x = x.reshape((tiles,) + mid + (LANE_TILE,))
     x = jnp.moveaxis(x, -1, 1).reshape((tiles * LANE_TILE,) + mid)
     return x[:B]
+
+
+def linearize_boundaries(cfg: "S.SolverConfig", X0: jax.Array,
+                         boundaries: jax.Array,
+                         boundary_signs: jax.Array) -> jax.Array:
+    """Per-(lane, stage) linear models of the 6 boundary rows, (B, H+1, 18).
+
+    RTI-style constraint linearization at the warm-start trajectory: each
+    signed-distance row h_ij = sign_j * d(circle_i(x), poly_j) (the exact
+    rows of ``constraints.boundary_rows``) is replaced by its first-order
+    model n . c + c0 at the nearest segment, where c is the ego circle
+    center — EXACT when the active boundary segment is a straight line,
+    and refreshed every solve in closed loop.  Output layout per stage:
+    [nx, ny, c0] x 6 rows, circle-major (row idx = 2*i + j).
+
+    X0: (B, H+1, NX) warm trajectory; boundaries: (B, 2, NB, 2);
+    boundary_signs: (B, 2).
+    """
+    d_ego = C.approx_circle_radius(cfg.ego_length, cfg.ego_width)[1] / 4.0
+    ks = jnp.asarray([0.0, d_ego, -d_ego], X0.dtype)
+    cxy = jnp.stack(
+        [X0[..., 0:1] + ks * jnp.cos(X0[..., 4:5]),
+         X0[..., 1:2] + ks * jnp.sin(X0[..., 4:5])], axis=-1)  # (B,H+1,3,2)
+
+    def one_boundary(p, poly, sgn):
+        # p: (H+1, 3, 2); poly: (NB, 2); sgn: ()
+        a, b = poly[:-1], poly[1:]
+        ab = b - a                                        # (NS, 2)
+        ab2 = jnp.maximum(jnp.sum(ab * ab, -1), 1e-12)
+        pa = p[:, :, None, :] - a                          # (H+1, 3, NS, 2)
+        t = jnp.clip(jnp.sum(pa * ab, -1) / ab2, 0.0, 1.0)
+        proj = a + t[..., None] * ab
+        diff = p[:, :, None, :] - proj
+        d2 = jnp.sum(diff * diff, -1)                      # (H+1, 3, NS)
+        i = jnp.argmin(d2, -1)
+        proj_i = jnp.take_along_axis(
+            proj, i[..., None, None], axis=2)[:, :, 0]     # (H+1, 3, 2)
+        ab_i = ab[i]
+        d_i = jnp.sqrt(
+            jnp.take_along_axis(d2, i[..., None], 2)[..., 0] + 1e-12)
+        off = p - proj_i
+        cross = ab_i[..., 0] * off[..., 1] - ab_i[..., 1] * off[..., 0]
+        sg = jnp.sign(cross)
+        n = (sgn * sg)[..., None] * off / d_i[..., None]
+        c0 = sgn * sg * d_i - jnp.sum(n * p, -1)
+        return n[..., 0], n[..., 1], c0                    # each (H+1, 3)
+
+    def one_lane(p, polys, signs):
+        nx0, ny0, c00 = one_boundary(p, polys[0], signs[0])
+        nx1, ny1, c01 = one_boundary(p, polys[1], signs[1])
+        nx = jnp.stack([nx0, nx1], -1)                     # (H+1, 3, 2)
+        ny = jnp.stack([ny0, ny1], -1)
+        c0 = jnp.stack([c00, c01], -1)
+        # (H+1, 3, 2, 3) -> (H+1, 18): circle-major, then boundary, then
+        # [nx, ny, c0] — the kernel reads bnd[3*idx + {0,1,2}], idx = 2i+j
+        return jnp.stack([nx, ny, c0], -1).reshape(p.shape[0], 18)
+
+    return jax.vmap(one_lane)(cxy, boundaries, boundary_signs)
 
 
 # ---------------------------------------------------------------------------
@@ -220,13 +282,18 @@ class _Rows:
     boxes:    [u0, u1, delta, v] identity rows
     """
 
-    __slots__ = ("h_f", "gf", "circ", "box")
+    __slots__ = ("h_f", "gf", "circ", "box", "bnd")
 
 
-def _compute_rows(x, u_eff, obs, consts, is_term: bool, k_is0):
+def _compute_rows(x, u_eff, obs, consts, is_term: bool, k_is0, bnd=None):
     """consts: dict of static floats; obs: list of 6 (8,128) [o_xy x 3].
 
     k_is0: traced scalar bool (casadi friction mask) or None (forcespro).
+    bnd: 18 registers [nx, ny, c0] x 6 — per-stage road-boundary rows,
+    linearized at the warm-start trajectory on the host side
+    (``linearize_boundaries``): row value nx*cx + ny*cy + c0 on the ego
+    circle center (cx, cy), the same (px, py, psi) gradient structure as
+    the obstacle circle rows.  Empty when boundary rows are disabled.
     """
     px, py, delta, v, psi = x
     a = u_eff[1]
@@ -280,6 +347,16 @@ def _compute_rows(x, u_eff, obs, consts, is_term: bool, k_is0):
         circ.append((dist, ux, uy, g_psi))
     r.circ = circ
     r.box = (u_eff[0], u_eff[1], delta, v)
+    r.bnd = []
+    if consts["boundary"]:
+        for idx, ki in enumerate(k for k in ks for _ in range(2)):
+            nx_, ny_, c0 = bnd[3 * idx], bnd[3 * idx + 1], bnd[3 * idx + 2]
+            cx = px + ki * cp
+            cy = py + ki * sp
+            hb = nx_ * cx + ny_ * cy + c0
+            gpsi = (ki * (-nx_ * sp + ny_ * cp) if ki != 0.0
+                    else jnp.zeros_like(hb))
+            r.bnd.append((hb, nx_, ny_, gpsi))
     return r
 
 
@@ -312,11 +389,14 @@ def _row_bounds(consts, mind, is_term: bool):
                    (consts["u_lo1"], consts["u_hi1"])]
     bounds += [(consts["d_lo"], consts["d_hi"]),
                (consts["v_lo"], consts["v_hi"])]
+    if consts["boundary"]:
+        bounds += [(consts["r_ego"], None)] * 6
     return bounds
 
 
 def _row_values(r: _Rows):
-    return ([r.h_f] + [c[0] for c in r.circ] + list(r.box))
+    return ([r.h_f] + [c[0] for c in r.circ] + list(r.box)
+            + [b[0] for b in r.bnd])
 
 
 def _stage_psi(r: _Rows, bounds, lam_lo, lam_hi, mu):
@@ -432,6 +512,19 @@ def _assemble_quad(r: _Rows, algr, x, u_eff, xref, wq, wr,
     Q[3][3] = Q[3][3] + gn
     qx[3] = qx[3] + gh
 
+    # boundary rows -> (px, py, psi) block (same structure as circles)
+    for idx, (_, nx_, ny_, gp) in enumerate(r.bnd):
+        gh, gn = algr[14 + idx]
+        Q[0][0] = Q[0][0] + gn * nx_ * nx_
+        Q[0][1] = Q[0][1] + gn * nx_ * ny_
+        Q[1][1] = Q[1][1] + gn * ny_ * ny_
+        Q[0][4] = Q[0][4] + gn * nx_ * gp
+        Q[1][4] = Q[1][4] + gn * ny_ * gp
+        Q[4][4] = Q[4][4] + gn * gp * gp
+        qx[0] = qx[0] + gh * nx_
+        qx[1] = qx[1] + gh * ny_
+        qx[4] = qx[4] + gh * gp
+
     # quadratic cost (exact): Q += 2 diag(w), q += 2 w dx
     if is_term:
         if use_terminal:
@@ -469,6 +562,8 @@ def _read_vec(ref, k, n):
 def make_consts(cfg: S.SolverConfig) -> dict:
     """Static per-config scalars shared by the fused kernels (AL + IP)."""
     return {
+        "boundary": bool(cfg.boundary_rows),
+        "r_ego": C.approx_circle_radius(cfg.ego_length, cfg.ego_width)[0],
         "formulation": cfg.formulation,
         "inv_l": 1.0 / cfg.wheelbase,
         "a_max": float(cfg.a_max),
@@ -481,16 +576,22 @@ def make_consts(cfg: S.SolverConfig) -> dict:
     }
 
 
-def _make_kernel(cfg: S.SolverConfig, H: int):
+def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
     consts = make_consts(cfg)
     dt = float(cfg.dt)
     inv_l = consts["inv_l"]
     integ = cfg.integrator
     reg = float(cfg.reg)
+    # bound-relative friction violation (sqp.row_scales): row 0 is in
+    # (m/s^2)^2 (forcespro) / m/s^2 (casadi) units, other rows in meters
+    _fr_scale = (consts["a_max"] ** 2 if consts["formulation"] == "forcespro"
+                 else consts["a_max"])
+    nr = S.nrows(cfg)
+    inv_scale = [1.0 / _fr_scale] + [1.0] * (nr - 1)
     u_clip = ((consts["u_lo0"], consts["u_lo1"]),
               (consts["u_hi0"], consts["u_hi1"]))
 
-    def kernel(x0_ref, xref_ref, obs_ref, mind_ref, w_ref,
+    def kernel(x0_ref, xref_ref, obs_ref, mind_ref, w_ref, bnd_ref,
                u_ref, lamlo_ref, lamhi_ref, mu_ref, pviol_ref,
                X_ref, u_out, lamlo_out, lamhi_out, mu_out, pviol_out,
                diag_ref, K_scr, d_scr):
@@ -503,12 +604,27 @@ def _make_kernel(cfg: S.SolverConfig, H: int):
         lamhi_out[...] = lamhi_ref[...]
         mu_out[...] = mu_ref[...]
         pviol_out[...] = pviol_ref[...]
-        obs = [obs_ref[i] for i in range(6)]
+        if moving:
+            # per-stage predicted obstacle centers (moving obstacle):
+            # obs_ref is (H+1, 6); re-read at every stage evaluation
+            def obs_at(k):
+                return [obs_ref[k, i] for i in range(6)]
+        else:
+            _obs0 = [obs_ref[i] for i in range(6)]
+
+            def obs_at(k):
+                return _obs0
         mind = mind_ref[0]
         wq = [w_ref[i] for i in range(NX)]
         wr = [w_ref[NX + i] for i in range(NU)]
         wqN = [w_ref[NX + NU + i] for i in range(NX)]
         x0 = [x0_ref[i] for i in range(NX)]
+        if consts["boundary"]:
+            def bnd_at(k):
+                return [bnd_ref[k, i] for i in range(18)]
+        else:
+            def bnd_at(k):
+                return None
 
         bounds_k = _row_bounds(consts, mind, is_term=False)
         bounds_T = _row_bounds(consts, mind, is_term=True)
@@ -519,15 +635,16 @@ def _make_kernel(cfg: S.SolverConfig, H: int):
 
         def stage_refs(k):
             return (_read_vec(xref_ref, k, NX),
-                    _read_vec(lamlo_out, k, NR),
-                    _read_vec(lamhi_out, k, NR),
-                    _read_vec(mu_out, k, NR))
+                    _read_vec(lamlo_out, k, nr),
+                    _read_vec(lamhi_out, k, nr),
+                    _read_vec(mu_out, k, nr))
 
         def stage_merit(x, u_eff, k, is_term):
             """cost + AL psi of one stage (x list, u_eff list)."""
             xref_k, lam_lo, lam_hi, mu = stage_refs(k)
-            r = _compute_rows(x, u_eff, obs, consts, is_term,
-                              k_is0=(k == 0))
+            r = _compute_rows(x, u_eff, obs_at(H if is_term else k),
+                              consts, is_term, k_is0=(k == 0),
+                              bnd=bnd_at(H if is_term else k))
             psi = _stage_psi(r, bounds_T if is_term else bounds_k,
                              lam_lo, lam_hi, mu)
             if is_term:
@@ -591,8 +708,9 @@ def _make_kernel(cfg: S.SolverConfig, H: int):
                 # backward sweep (terminal quad + reverse stage recursion)
                 xT = _read_vec(X_ref, H, NX)
                 xrefT, lam_loT, lam_hiT, muT = stage_refs(H)
-                rT = _compute_rows(xT, [zero_alpha, zero_alpha], obs,
-                                   consts, True, k_is0=False)
+                rT = _compute_rows(xT, [zero_alpha, zero_alpha],
+                                   obs_at(H), consts, True, k_is0=False,
+                                   bnd=bnd_at(H))
                 algrT = _row_al_grads(rT, bounds_T, lam_loT, lam_hiT, muT)
                 QH, qH = _assemble_quad(rT, algrT, xT,
                                         [zero_alpha, zero_alpha], xrefT,
@@ -607,8 +725,8 @@ def _make_kernel(cfg: S.SolverConfig, H: int):
                     x = _read_vec(X_ref, k, NX)
                     u = _read_vec(u_out, k, NU)
                     xref_k, lam_lo, lam_hi, mu = stage_refs(k)
-                    r = _compute_rows(x, u, obs, consts, False,
-                                      k_is0=(k == 0))
+                    r = _compute_rows(x, u, obs_at(k), consts, False,
+                                      k_is0=(k == 0), bnd=bnd_at(k))
                     algr = _row_al_grads(r, bounds_k, lam_lo, lam_hi, mu)
                     Q, R, M, qx, qu = _assemble_quad(
                         r, algr, x, u, xref_k, wq, wr, False)
@@ -691,9 +809,9 @@ def _make_kernel(cfg: S.SolverConfig, H: int):
                 u = _read_vec(u_out, jnp.minimum(k, H - 1), NU)
                 u_eff = [jnp.where(is_last, 0.0, u[i]) for i in range(NU)]
                 xref_k, lam_lo, lam_hi, mu = stage_refs(k)
-                pv = _read_vec(pviol_out, k, NR)
-                r = _compute_rows(x, u_eff, obs, consts, False,
-                                  k_is0=(k == 0))
+                pv = _read_vec(pviol_out, k, nr)
+                r = _compute_rows(x, u_eff, obs_at(k), consts, False,
+                                  k_is0=(k == 0), bnd=bnd_at(k))
                 # terminal: friction uses a=0 (u_eff), box u rows unbounded
                 hs = _row_values(r)
                 new_lo, new_hi, new_mu, new_viol = [], [], [], []
@@ -743,8 +861,8 @@ def _make_kernel(cfg: S.SolverConfig, H: int):
         # lam_k = qx + A' lam_{k+1}
         xT = _read_vec(X_ref, H, NX)
         xrefT, lam_loT, lam_hiT, muT = stage_refs(H)
-        rT = _compute_rows(xT, [zero_alpha, zero_alpha], obs, consts,
-                           True, k_is0=False)
+        rT = _compute_rows(xT, [zero_alpha, zero_alpha], obs_at(H),
+                           consts, True, k_is0=False, bnd=bnd_at(H))
         algrT = _row_al_grads(rT, bounds_T, lam_loT, lam_hiT, muT)
         QHd, qHd = _assemble_quad(rT, algrT, xT, [zero_alpha, zero_alpha],
                                   xrefT, wq, wr, True, wqN,
@@ -756,9 +874,9 @@ def _make_kernel(cfg: S.SolverConfig, H: int):
         violT = jnp.zeros_like(psi_T)
         for i, (lo, hi) in enumerate(bounds_T):
             if hi is not None:
-                violT = jnp.maximum(violT, hs_T[i] - hi)
+                violT = jnp.maximum(violT, (hs_T[i] - hi) * inv_scale[i])
             if lo is not None:
-                violT = jnp.maximum(violT, lo - hs_T[i])
+                violT = jnp.maximum(violT, (lo - hs_T[i]) * inv_scale[i])
 
         def diag_body(j, carry):
             lam, stat, viol, cost, merit = carry
@@ -767,7 +885,8 @@ def _make_kernel(cfg: S.SolverConfig, H: int):
             x = _read_vec(X_ref, k, NX)
             u = _read_vec(u_out, k, NU)
             xref_k, lam_lo, lam_hi, mu = stage_refs(k)
-            r = _compute_rows(x, u, obs, consts, False, k_is0=(k == 0))
+            r = _compute_rows(x, u, obs_at(k), consts, False,
+                              k_is0=(k == 0), bnd=bnd_at(k))
             algr = _row_al_grads(r, bounds_k, lam_lo, lam_hi, mu)
             _, _, _, qx, qu = _assemble_quad(r, algr, x, u, xref_k, wq, wr,
                                              False)
@@ -783,9 +902,9 @@ def _make_kernel(cfg: S.SolverConfig, H: int):
             hs = _row_values(r)
             for i, (lo, hi) in enumerate(bounds_k):
                 if hi is not None:
-                    viol = jnp.maximum(viol, hs[i] - hi)
+                    viol = jnp.maximum(viol, (hs[i] - hi) * inv_scale[i])
                 if lo is not None:
-                    viol = jnp.maximum(viol, lo - hs[i])
+                    viol = jnp.maximum(viol, (lo - hs[i]) * inv_scale[i])
             cost = cost + _stage_cost_rows(x, u, xref_k, wq, wr)
             merit = merit + _stage_cost_rows(x, u, xref_k, wq, wr) \
                 + _stage_psi(r, bounds_k, lam_lo, lam_hi, mu)
@@ -812,18 +931,21 @@ def _make_kernel(cfg: S.SolverConfig, H: int):
 
 def eligible(cfg: S.SolverConfig, params: S.OcpParams) -> bool:
     return (cfg.method == "al" and cfg.model == "ks"
-            and not cfg.boundary_rows
-            and params.obs_centers.ndim == 3          # static obstacle
+            and (not cfg.boundary_rows or params.boundaries is not None)
+            and params.obs_centers.ndim in (3, 4)      # static (B, 3, 2)
+            # or moving (B, H+1, 3, 2) per-stage predicted centers
             and params.x_ref.shape[-1] == NX)
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("interpret",))
-def _solve_packed(cfg, x0p, xrefp, obsp, mindp, wp, Up, llp, lhp, mup, pvp,
-                  interpret=False):
+def _solve_packed(cfg, x0p, xrefp, obsp, mindp, wp, bndp, Up, llp, lhp,
+                  mup, pvp, interpret=False):
     tiles = x0p.shape[0]
     H = cfg.horizon
-    kernel = _make_kernel(cfg, H)
+    moving = obsp.ndim == 5  # (tiles, H+1, 6, 8, 128) vs (tiles, 6, 8, 128)
+    nr = llp.shape[2]        # NROWS (+6 with boundary rows)
+    kernel = _make_kernel(cfg, H, moving)
 
     def tile_spec(*mid):
         nd = len(mid)
@@ -832,9 +954,9 @@ def _solve_packed(cfg, x0p, xrefp, obsp, mindp, wp, Up, llp, lhp, mup, pvp,
                             memory_space=pltpu.VMEM)
 
     def squeezed(*refs):
-        ins = refs[:10]
-        outs = refs[10:17]
-        scr = refs[17:]
+        ins = refs[:11]
+        outs = refs[11:18]
+        scr = refs[18:]
         kernel(*[r.at[0] for r in ins], *[r.at[0] for r in outs], *scr)
 
     dtype = x0p.dtype
@@ -851,29 +973,32 @@ def _solve_packed(cfg, x0p, xrefp, obsp, mindp, wp, Up, llp, lhp, mup, pvp,
         squeezed,
         grid=(tiles,),
         in_specs=[
-            tile_spec(NX), tile_spec(H + 1, NX), tile_spec(6), tile_spec(1),
+            tile_spec(NX), tile_spec(H + 1, NX),
+            tile_spec(H + 1, 6) if moving else tile_spec(6), tile_spec(1),
             tile_spec(NX + NU + NX),
-            tile_spec(H, NU), tile_spec(H + 1, NR), tile_spec(H + 1, NR),
-            tile_spec(H + 1, NR), tile_spec(H + 1, NR),
+            # boundary-row linear models, or a 1-wide dummy when disabled
+            tile_spec(H + 1, 18) if cfg.boundary_rows else tile_spec(1),
+            tile_spec(H, NU), tile_spec(H + 1, nr), tile_spec(H + 1, nr),
+            tile_spec(H + 1, nr), tile_spec(H + 1, nr),
         ],
         out_specs=(
-            tile_spec(H + 1, NX), tile_spec(H, NU), tile_spec(H + 1, NR),
-            tile_spec(H + 1, NR), tile_spec(H + 1, NR),
-            tile_spec(H + 1, NR), tile_spec(4),
+            tile_spec(H + 1, NX), tile_spec(H, NU), tile_spec(H + 1, nr),
+            tile_spec(H + 1, nr), tile_spec(H + 1, nr),
+            tile_spec(H + 1, nr), tile_spec(4),
         ),
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((H, NU * NX, _SUB, _LANES), dtype),   # K
             pltpu.VMEM((H, NU, _SUB, _LANES), dtype),        # d
         ],
-        input_output_aliases={5: 1, 6: 2, 7: 3, 8: 4, 9: 5},
+        input_output_aliases={6: 1, 7: 2, 8: 3, 9: 4, 10: 5},
         # whole-solve state is VMEM-resident: ~10 MB of blocks per tile plus
         # Mosaic's loop temporaries exceed the 16 MB default scoped limit;
         # v5e has 128 MiB physical VMEM per core
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x0p, xrefp, obsp, mindp, wp, Up, llp, lhp, mup, pvp)
+    )(x0p, xrefp, obsp, mindp, wp, bndp, Up, llp, lhp, mup, pvp)
 
 
 def solve_batch_fused(cfg: S.SolverConfig, params: S.OcpParams,
@@ -910,7 +1035,9 @@ def solve_batch_fused(cfg: S.SolverConfig, params: S.OcpParams,
     benign_x[3] = 1.0  # v = 1
     x0p = _pack(pad_rows(params.x0, benign_x), padB)
     xrefp = _pack(pad_rows(params.x_ref, benign_x), padB)
-    obsp = _pack(pad_rows(params.obs_centers.reshape(B, 6), -1e4), padB)
+    obs_flat = params.obs_centers.reshape(
+        (B, 6) if params.obs_centers.ndim == 3 else (B, H + 1, 6))
+    obsp = _pack(pad_rows(obs_flat, -1e4), padB)
     mindp = _pack(pad_rows(
         jnp.broadcast_to(params.min_dist.reshape(-1, 1), (B, 1)), 0.0), padB)
     wp = _pack(pad_rows(jnp.concatenate(
@@ -922,9 +1049,21 @@ def solve_batch_fused(cfg: S.SolverConfig, params: S.OcpParams,
     mup = _pack(jnp.maximum(state.mu, cfg.mu0), padB)
     mup = jnp.where(mup <= 0.0, cfg.mu0, mup)
     pvp = _pack(state.prev_viol, padB)
+    if cfg.boundary_rows:
+        X0 = jax.vmap(lambda p, U1: S._rollout(cfg, p, U1))(params.x0,
+                                                            state.U)
+        bnd = linearize_boundaries(cfg, X0, params.boundaries,
+                                   params.boundary_signs)
+        # padded lanes: zero normal + positive offset => trivially feasible
+        r_ego = C.approx_circle_radius(cfg.ego_length, cfg.ego_width)[0]
+        pad_bnd = np.zeros((18,), np.float32)
+        pad_bnd[2::3] = r_ego + 1.0
+        bndp = _pack(pad_rows(bnd, pad_bnd), padB)
+    else:
+        bndp = _pack(jnp.zeros((B, 1), dtype), padB)
 
     Xp, Unew, llo, lhi, mun, pvn, diag = _solve_packed(
-        cfg, x0p, xrefp, obsp, mindp, wp, Up, llp, lhp, mup, pvp,
+        cfg, x0p, xrefp, obsp, mindp, wp, bndp, Up, llp, lhp, mup, pvp,
         interpret=interpret)
 
     X = _unpack(Xp, B)

@@ -30,9 +30,11 @@ vmapped XLA path remains the executable spec; equivalence is tested in
 
 Layout identical to ``fused_gn``: every per-lane scalar is an (8, 128)
 vector register over the 1024-lane tile; 5x5/2x2 algebra unrolls into VPU
-FMAs.  Eligibility (v1): KS model, method='ip', no boundary rows, static
-obstacle.  Reference analog: the generated FORCESPRO BFGS-SQP C solver
-(``test/FORCESNLPsolver/lib/``) — one self-contained native solve per call.
+FMAs.  Eligibility: KS model, method='ip'; static or per-stage moving
+obstacle centers; optional road-boundary rows via the shared per-stage
+linearization (``fused_gn.linearize_boundaries``).  Reference analog: the
+generated FORCESPRO BFGS-SQP C solver (``test/FORCESNLPsolver/lib/``) —
+one self-contained native solve per call.
 """
 from __future__ import annotations
 
@@ -74,6 +76,8 @@ def _row_lin(r, bounds, dX, dU):
     cs.append(r.box[1] + dU[1])
     cs.append(r.box[2] + dX[2])
     cs.append(r.box[3] + dX[3])
+    for (hb, nx_, ny_, gp) in r.bnd:
+        cs.append(hb + nx_ * dX[0] + ny_ * dX[1] + gp * dX[4])
     return cs
 
 
@@ -84,18 +88,25 @@ def _n_finite(bounds) -> int:
     return n
 
 
-def _make_ip_kernel(cfg: S.SolverConfig, H: int):
+def _make_ip_kernel(cfg: S.SolverConfig, H: int,
+                    moving: bool = False):
     consts = make_consts(cfg)
     dt = float(cfg.dt)
     inv_l = consts["inv_l"]
     integ = cfg.integrator
     reg = float(cfg.reg)
     rho = float(cfg.ip_ls_rho)
+    _fr_scale = (consts["a_max"] ** 2 if consts["formulation"] == "forcespro"
+                 else consts["a_max"])
+    # bound-relative friction (sqp.row_scales): scales the penalty merit,
+    # the -7 gate, and the reported viol; pviol rows stay raw
+    nr = S.nrows(cfg)
+    inv_scale = [1.0 / _fr_scale] + [1.0] * (nr - 1)
     u_clip = ((consts["u_lo0"], consts["u_lo1"]),
               (consts["u_hi0"], consts["u_hi1"]))
     big = 1e30
 
-    def kernel(x0_ref, xref_ref, obs_ref, mind_ref, w_ref,
+    def kernel(x0_ref, xref_ref, obs_ref, mind_ref, w_ref, bnd_ref,
                u_ref, zlo_ref, zhi_ref,
                X_ref, u_out, zlo_out, zhi_out, pviol_out, diag_ref,
                K_scr, dff_scr, dX_scr, dU_scr, ddX_scr, ddU_scr,
@@ -103,7 +114,21 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int):
         u_out[...] = u_ref[...]
         zlo_out[...] = zlo_ref[...]
         zhi_out[...] = zhi_ref[...]
-        obs = [obs_ref[i] for i in range(6)]
+        if moving:
+            # per-stage predicted obstacle centers: obs_ref is (H+1, 6)
+            def obs_at(k):
+                return [obs_ref[k, i] for i in range(6)]
+        else:
+            _obs0 = [obs_ref[i] for i in range(6)]
+
+            def obs_at(k):
+                return _obs0
+        if consts["boundary"]:
+            def bnd_at(k):
+                return [bnd_ref[k, i] for i in range(18)]
+        else:
+            def bnd_at(k):
+                return None
         mind = mind_ref[0]
         wq = [w_ref[i] for i in range(NX)]
         wr = [w_ref[NX + i] for i in range(NU)]
@@ -125,7 +150,8 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int):
             """Rows + linearization context at the OUTER iterate (X, U)."""
             x = _read_vec(X_ref, k, NX)
             u = zero_u if is_term else _read_vec(u_out, k, NU)
-            r = _compute_rows(x, u, obs, consts, is_term, k_is0=(k == 0))
+            r = _compute_rows(x, u, obs_at(k), consts, is_term,
+                              k_is0=(k == 0), bnd=bnd_at(k))
             return x, u, r
 
         def ip_weights(r, bounds, dXk, dUk, slo, shi, zlo, zhi, mu_b):
@@ -174,7 +200,8 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int):
                 ub = _read_vec(u_out, k, NU)
                 dk = _read_vec(dU_scr, k, NU)
                 u = clip_u([ub[i] + alpha * dk[i] for i in range(NU)])
-                r = _compute_rows(xl, u, obs, consts, False, k_is0=(k == 0))
+                r = _compute_rows(xl, u, obs_at(k), consts, False,
+                                  k_is0=(k == 0), bnd=bnd_at(k))
                 hs = _row_values(r)
                 v = zero
                 for i, (lo, hi) in enumerate(bounds_k):
@@ -183,7 +210,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int):
                         vi = jnp.maximum(vi, hs[i] - hi)
                     if lo is not None:
                         vi = jnp.maximum(vi, lo - hs[i])
-                    v = v + jnp.maximum(vi, 0.0)
+                    v = v + jnp.maximum(vi, 0.0) * inv_scale[i]
                 xref_k = _read_vec(xref_ref, k, NX)
                 acc = acc + _stage_cost_rows(xl, u, xref_k, wq, wr) + rho * v
                 if write:
@@ -193,7 +220,8 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int):
 
             xH2, acc = jax.lax.fori_loop(0, H, body, (jnp.stack(x0), zero))
             xT = [xH2[i] for i in range(NX)]
-            rT = _compute_rows(xT, zero_u, obs, consts, True, k_is0=False)
+            rT = _compute_rows(xT, zero_u, obs_at(H), consts, True,
+                               k_is0=False, bnd=bnd_at(H))
             hsT = _row_values(rT)
             vT = zero
             for i, (lo, hi) in enumerate(bounds_T):
@@ -202,7 +230,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int):
                     vi = jnp.maximum(vi, hsT[i] - hi)
                 if lo is not None:
                     vi = jnp.maximum(vi, lo - hsT[i])
-                vT = vT + jnp.maximum(vi, 0.0)
+                vT = vT + jnp.maximum(vi, 0.0) * inv_scale[i]
             xrefT = _read_vec(xref_ref, H, NX)
             if cfg.use_terminal_cost:
                 acc = acc + _term_cost_rows(xT, xrefT, wqN)
@@ -270,8 +298,8 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int):
                 dXT = _read_vec(dX_scr, H, NX)
                 algT, _ = ip_weights(
                     rT, bounds_T, dXT, zero_u,
-                    _read_vec(slo_scr, H, NR), _read_vec(shi_scr, H, NR),
-                    _read_vec(zlo_out, H, NR), _read_vec(zhi_out, H, NR),
+                    _read_vec(slo_scr, H, nr), _read_vec(shi_scr, H, nr),
+                    _read_vec(zlo_out, H, nr), _read_vec(zhi_out, H, nr),
                     mu_b)
                 x_cT = [xT[i] + dXT[i] for i in range(NX)]
                 QH, qH = _assemble_quad(rT, algT, x_cT, zero_u,
@@ -291,8 +319,8 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int):
                     dUk = _read_vec(dU_scr, k, NU)
                     algr, _ = ip_weights(
                         r, bounds_k, dXk, dUk,
-                        _read_vec(slo_scr, k, NR), _read_vec(shi_scr, k, NR),
-                        _read_vec(zlo_out, k, NR), _read_vec(zhi_out, k, NR),
+                        _read_vec(slo_scr, k, nr), _read_vec(shi_scr, k, nr),
+                        _read_vec(zlo_out, k, nr), _read_vec(zhi_out, k, nr),
                         mu_b)
                     x_c = [x[i] + dXk[i] for i in range(NX)]
                     u_c = [u[i] + dUk[i] for i in range(NU)]
@@ -388,10 +416,10 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int):
                     Jd = _row_lin(r, bounds, ddXk, ddUk)
                     Jd = [Jd[i] - cs_raw for i, cs_raw
                           in enumerate(_row_values(r))]
-                    slo = _read_vec(slo_scr, k, NR)
-                    shi = _read_vec(shi_scr, k, NR)
-                    zlo = _read_vec(zlo_out, k, NR)
-                    zhi = _read_vec(zhi_out, k, NR)
+                    slo = _read_vec(slo_scr, k, nr)
+                    shi = _read_vec(shi_scr, k, nr)
+                    zlo = _read_vec(zlo_out, k, nr)
+                    zhi = _read_vec(zhi_out, k, nr)
                     dslo_n, dshi_n, dzlo_n, dzhi_n = [], [], [], []
 
                     def ftb(v, dv, am):
@@ -442,14 +470,14 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int):
                     dX_scr[k] = dX_scr[k] + alpha * ddX_scr[k]
                     if not is_term:
                         dU_scr[k] = dU_scr[k] + alpha * ddU_scr[k]
-                    slo = _read_vec(slo_scr, k, NR)
-                    shi = _read_vec(shi_scr, k, NR)
-                    zlo = _read_vec(zlo_out, k, NR)
-                    zhi = _read_vec(zhi_out, k, NR)
-                    dslo = _read_vec(dslo_scr, k, NR)
-                    dshi = _read_vec(dshi_scr, k, NR)
-                    dzlo = _read_vec(dzlo_scr, k, NR)
-                    dzhi = _read_vec(dzhi_scr, k, NR)
+                    slo = _read_vec(slo_scr, k, nr)
+                    shi = _read_vec(shi_scr, k, nr)
+                    zlo = _read_vec(zlo_out, k, nr)
+                    zhi = _read_vec(zhi_out, k, nr)
+                    dslo = _read_vec(dslo_scr, k, nr)
+                    dshi = _read_vec(dshi_scr, k, nr)
+                    dzlo = _read_vec(dzlo_scr, k, nr)
+                    dzhi = _read_vec(dzhi_scr, k, nr)
                     slo_n, shi_n, zlo_n, zhi_n = [], [], [], []
                     for i, (lo, hi) in enumerate(bounds):
                         if lo is not None:
@@ -511,8 +539,8 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int):
         # duals lam = z_hi - z_lo (sqp._solve_ip:642-661 semantics)
         xT, _, rT = stage_ctx(H, True)
         xrefT = _read_vec(xref_ref, H, NX)
-        lamT_rows = [zhi_out[H][i] - zlo_out[H][i] for i in range(NR)]
-        algT = [(lamT_rows[i], zero) for i in range(NR)]
+        lamT_rows = [zhi_out[H][i] - zlo_out[H][i] for i in range(nr)]
+        algT = [(lamT_rows[i], zero) for i in range(nr)]
         _, qHd = _assemble_quad(rT, algT, xT, zero_u, xrefT, wq, wr, True,
                                 wqN, cfg.use_terminal_cost)
         hs_T = _row_values(rT)
@@ -526,7 +554,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int):
                 vi = jnp.maximum(vi, lo - hs_T[i])
             vi = jnp.maximum(vi, 0.0)
             pv_T.append(vi)
-            violT = jnp.maximum(violT, vi)
+            violT = jnp.maximum(violT, vi * inv_scale[i])
         pviol_out[H] = jnp.stack(pv_T)
         cost_T = (_term_cost_rows(xT, xrefT, wqN)
                   if cfg.use_terminal_cost else zero)
@@ -537,8 +565,8 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int):
             laml = [lam[i] for i in range(NX)]
             x, u, r = stage_ctx(k, False)
             xref_k = _read_vec(xref_ref, k, NX)
-            lam_rows = [zhi_out[k][i] - zlo_out[k][i] for i in range(NR)]
-            algr = [(lam_rows[i], zero) for i in range(NR)]
+            lam_rows = [zhi_out[k][i] - zlo_out[k][i] for i in range(nr)]
+            algr = [(lam_rows[i], zero) for i in range(nr)]
             _, _, _, qx, qu = _assemble_quad(r, algr, x, u, xref_k, wq, wr,
                                              False)
             A, Bm = _lin_step(x, u, dt, inv_l, integ)
@@ -559,7 +587,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int):
                     vi = jnp.maximum(vi, lo - hs[i])
                 vi = jnp.maximum(vi, 0.0)
                 pv.append(vi)
-                viol = jnp.maximum(viol, vi)
+                viol = jnp.maximum(viol, vi * inv_scale[i])
             pviol_out[k] = jnp.stack(pv)
             cost = cost + _stage_cost_rows(x, u, xref_k, wq, wr)
             return (lam_new, stat, viol, cost)
@@ -576,18 +604,20 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int):
 
 def eligible_ip(cfg: S.SolverConfig, params: S.OcpParams) -> bool:
     return (cfg.method == "ip" and cfg.model == "ks"
-            and not cfg.boundary_rows
-            and params.obs_centers.ndim == 3
+            and (not cfg.boundary_rows or params.boundaries is not None)
+            and params.obs_centers.ndim in (3, 4)  # static or moving
             and params.x_ref.shape[-1] == NX)
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("interpret",))
-def _solve_ip_packed(cfg, x0p, xrefp, obsp, mindp, wp, Up, zlp, zhp,
+def _solve_ip_packed(cfg, x0p, xrefp, obsp, mindp, wp, bndp, Up, zlp, zhp,
                      interpret=False):
     tiles = x0p.shape[0]
     H = cfg.horizon
-    kernel = _make_ip_kernel(cfg, H)
+    moving = obsp.ndim == 5  # (tiles, H+1, 6, 8, 128)
+    nr = zlp.shape[2]        # NROWS (+6 with boundary rows)
+    kernel = _make_ip_kernel(cfg, H, moving)
 
     def tile_spec(*mid):
         nd = len(mid)
@@ -596,9 +626,9 @@ def _solve_ip_packed(cfg, x0p, xrefp, obsp, mindp, wp, Up, zlp, zhp,
                             memory_space=pltpu.VMEM)
 
     def squeezed(*refs):
-        ins = refs[:8]
-        outs = refs[8:14]
-        scr = refs[14:]
+        ins = refs[:9]
+        outs = refs[9:15]
+        scr = refs[15:]
         kernel(*[r.at[0] for r in ins], *[r.at[0] for r in outs], *scr)
 
     dtype = x0p.dtype
@@ -612,19 +642,22 @@ def _solve_ip_packed(cfg, x0p, xrefp, obsp, mindp, wp, Up, zlp, zhp,
     )
 
     def nr_scr():
-        return pltpu.VMEM((H + 1, NR, _SUB, _LANES), dtype)
+        return pltpu.VMEM((H + 1, nr, _SUB, _LANES), dtype)
 
     return pl.pallas_call(
         squeezed,
         grid=(tiles,),
         in_specs=[
-            tile_spec(NX), tile_spec(H + 1, NX), tile_spec(6), tile_spec(1),
+            tile_spec(NX), tile_spec(H + 1, NX),
+            tile_spec(H + 1, 6) if moving else tile_spec(6), tile_spec(1),
             tile_spec(NX + NU + NX),
-            tile_spec(H, NU), tile_spec(H + 1, NR), tile_spec(H + 1, NR),
+            # boundary-row linear models, or a 1-wide dummy when disabled
+            tile_spec(H + 1, 18) if cfg.boundary_rows else tile_spec(1),
+            tile_spec(H, NU), tile_spec(H + 1, nr), tile_spec(H + 1, nr),
         ],
         out_specs=(
-            tile_spec(H + 1, NX), tile_spec(H, NU), tile_spec(H + 1, NR),
-            tile_spec(H + 1, NR), tile_spec(H + 1, NR), tile_spec(4),
+            tile_spec(H + 1, NX), tile_spec(H, NU), tile_spec(H + 1, nr),
+            tile_spec(H + 1, nr), tile_spec(H + 1, nr), tile_spec(4),
         ),
         out_shape=out_shape,
         scratch_shapes=[
@@ -637,11 +670,11 @@ def _solve_ip_packed(cfg, x0p, xrefp, obsp, mindp, wp, Up, zlp, zhp,
             nr_scr(), nr_scr(),                              # s_lo, s_hi
             nr_scr(), nr_scr(), nr_scr(), nr_scr(),          # ds/dz lo/hi
         ],
-        input_output_aliases={5: 1, 6: 2, 7: 3},
+        input_output_aliases={6: 1, 7: 2, 8: 3},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x0p, xrefp, obsp, mindp, wp, Up, zlp, zhp)
+    )(x0p, xrefp, obsp, mindp, wp, bndp, Up, zlp, zhp)
 
 
 def solve_batch_fused_ip(cfg: S.SolverConfig, params: S.OcpParams,
@@ -672,7 +705,10 @@ def solve_batch_fused_ip(cfg: S.SolverConfig, params: S.OcpParams,
     benign_x[3] = 1.0
     x0p = _pack(pad_rows(params.x0, benign_x), padB)
     xrefp = _pack(pad_rows(params.x_ref, benign_x), padB)
-    obsp = _pack(pad_rows(params.obs_centers.reshape(B, 6), -1e4), padB)
+    obs_flat = params.obs_centers.reshape(
+        (B, 6) if params.obs_centers.ndim == 3
+        else (B, cfg.horizon + 1, 6))
+    obsp = _pack(pad_rows(obs_flat, -1e4), padB)
     mindp = _pack(pad_rows(
         jnp.broadcast_to(params.min_dist.reshape(-1, 1), (B, 1)), 0.0), padB)
     wp = _pack(pad_rows(jnp.concatenate(
@@ -681,9 +717,23 @@ def solve_batch_fused_ip(cfg: S.SolverConfig, params: S.OcpParams,
     Up = _pack(state.U, padB)
     zlp = _pack(state.lam_lo, padB)
     zhp = _pack(state.lam_hi, padB)
+    if cfg.boundary_rows:
+        from mpc_tpu.models import constraints as C
+        from mpc_tpu.ops.fused_gn import linearize_boundaries
+        X0 = jax.vmap(lambda p, U1: S._rollout(cfg, p, U1))(params.x0,
+                                                            state.U)
+        bnd = linearize_boundaries(cfg, X0, params.boundaries,
+                                   params.boundary_signs)
+        r_ego = C.approx_circle_radius(cfg.ego_length, cfg.ego_width)[0]
+        pad_bnd = np.zeros((18,), np.float32)
+        pad_bnd[2::3] = r_ego + 1.0
+        bndp = _pack(pad_rows(bnd, pad_bnd), padB)
+    else:
+        bndp = _pack(jnp.zeros((B, 1), dtype), padB)
 
     Xp, Unew, zlo, zhi, pvn, diag = _solve_ip_packed(
-        cfg, x0p, xrefp, obsp, mindp, wp, Up, zlp, zhp, interpret=interpret)
+        cfg, x0p, xrefp, obsp, mindp, wp, bndp, Up, zlp, zhp,
+        interpret=interpret)
 
     X = _unpack(Xp, B)
     U = _unpack(Unew, B)

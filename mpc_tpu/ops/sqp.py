@@ -50,6 +50,27 @@ def nrows(cfg) -> int:
     return NROWS + (C.NUM_BOUNDARY if cfg.boundary_rows else 0)
 
 
+def row_scales(cfg, dtype=jnp.float32) -> jax.Array:
+    """Per-row violation scales (IPOPT-style constraint scaling), (NROWS,).
+
+    Status gates and the ip-mode exact-penalty line search compare
+    violations ACROSS rows, but the friction row's units are (m/s^2)^2
+    (forcespro form) / m/s^2 (casadi form) while every other row is meters
+    (circle/boundary distances) or near-unit box ranges.  Scaling the
+    friction row by its bound magnitude makes `viol` bound-relative for it
+    and keeps meter rows absolute.  Reference analog: IPOPT applies its
+    constr_viol_tol to scaled constraints, and the recorded forcespro CA
+    deployment tolerates 27% applied-friction overshoot (max 168 vs
+    a_max^2 = 132, ``tests/ref_goldens/2D_plots_forcespro_ZAM_Over-1_1_
+    collision_avoidance``) while holding meter-scale clearance — bound-
+    relative friction is exactly that priority.
+    """
+    import numpy as _np
+    s = _np.ones((nrows(cfg),), _np.float64)
+    s[0] = cfg.a_max ** 2 if cfg.formulation == "forcespro" else cfg.a_max
+    return jnp.asarray(s, dtype)
+
+
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """Static solver configuration (hashable; baked into the XLA program)."""
@@ -544,7 +565,7 @@ def _kkt_residuals(cfg: SolverConfig, params: OcpParams, X, U,
     h, lo, hi = _all_rows(cfg, X, U, params)
     viol = jnp.maximum(jnp.maximum(lo - h, h - hi), 0.0)
     viol = jnp.where(jnp.isfinite(viol), viol, 0.0)
-    return stat, jnp.max(viol)
+    return stat, jnp.max(viol / row_scales(cfg, viol.dtype))
 
 
 def _solve_ip(cfg: SolverConfig, params: OcpParams,
@@ -617,13 +638,17 @@ def _solve_ip(cfg: SolverConfig, params: OcpParams,
         # dynamics-consistent rollout of the clamped inputs.
         u_lo_, u_hi_, _, _ = cfg.bounds.as_arrays(dtype)
         rho = jnp.asarray(cfg.ip_ls_rho, dtype)
+        scales = row_scales(cfg, dtype)
 
         def try_alpha(a):
             Ua = jnp.clip(U + a * dU_dir, u_lo_, u_hi_)
             Xa = _rollout(cfg, params.x0, Ua)
             hh, ll, hh2 = _all_rows(cfg, Xa, Ua, params)
             v = jnp.maximum(jnp.maximum(ll - hh, hh - hh2), 0.0)
-            v = jnp.where(jnp.isfinite(v), v, 0.0)
+            # bound-relative friction (row_scales): meter-scale clearance
+            # outweighs (m/s^2)^2-scale friction overshoot in the penalty,
+            # mirroring the reference deployment's effective priority
+            v = jnp.where(jnp.isfinite(v), v, 0.0) / scales
             phi = _objective(cfg, Xa, Ua, params) + rho * jnp.sum(v)
             phi = jnp.where(jnp.isnan(phi), jnp.inf, phi)
             return phi, Xa, Ua
@@ -657,7 +682,7 @@ def _solve_ip(cfg: SolverConfig, params: OcpParams,
     h, lo, hi = _all_rows(cfg, X, U, params)
     viol = jnp.maximum(jnp.maximum(lo - h, h - hi), 0.0)
     viol = jnp.where(jnp.isfinite(viol), viol, 0.0)
-    viol_max = jnp.max(viol)
+    viol_max = jnp.max(viol / row_scales(cfg, dtype))
 
     # Lagrangian stationarity with the final QP's row duals (lam = z_hi -
     # z_lo): grad_U [ f(X(U), U) + sum lam . h(X(U), U) ], the same residual

@@ -482,7 +482,11 @@ def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
 
     scfg = lcfg.solver
     fused_ok = (scfg.engine != "xla" and scfg.model == "ks"
-                and not scfg.boundary_rows and params.obs_track is None
+                # boundary rows ride the kernels' linearized per-stage
+                # rows; moving-obstacle tracks ride their per-stage
+                # obstacle mode ((B, H+1, 3, 2) centers)
+                and (not scfg.boundary_rows
+                     or params.boundaries is not None)
                 # the kernels are TPU-compiled; CPU runs (tests) take the
                 # XLA path unless the caller forces interpret explicitly
                 and (jax.default_backend() == "tpu"

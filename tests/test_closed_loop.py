@@ -206,3 +206,24 @@ def test_deterministic_regression_goldens(config_name, tag, framework):
         res = cl.closed_loop_jit(lcfg, params)
         X = np.asarray(res.X)
     np.testing.assert_allclose(X, golden, atol=1e-4)
+
+
+def test_true_rti_one_qp_per_step_feasible():
+    """1 warm-started QP per MPC step (the reference's ``maxqps=1``
+    deployment, optimizer.py:237) stays fully feasible under the HONEST
+    nonlinear gate on ZAM LF — a contract the reference never checks (it
+    sets ``nlp.TolIneq = -1``; see PARITY.md "true-RTI parity")."""
+    c = load_config(os.path.join(CFG, "config_LF_ZAM_Over-1_1.yaml"), SCN)
+    c = type(c)(**{**c.__dict__, "framework": "forcespro"})
+    lcfg = cl.make_loop_config(c, noised=False, ip_sqp_iters=1,
+                               ip_iters=10, ip_warm_duals=True)
+    params = cl.make_loop_params(c, lcfg)
+    res = cl.closed_loop_jit(lcfg, params)
+    assert (np.asarray(res.status) >= 0).all()
+    assert float(np.asarray(res.viol).max()) < lcfg.solver.tol_infeas
+    # tracking stays reference-grade at the 1-QP budget
+    X = np.asarray(res.X)
+    ref = c.reference_path
+    rmsd_y = np.sqrt(np.sum((ref[:len(X), 1] - X[:, 1]) ** 2)
+                     / (len(X) - 1))
+    assert rmsd_y < 0.3

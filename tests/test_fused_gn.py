@@ -103,6 +103,69 @@ def test_fused_padded_lanes_are_benign(B):
                                atol=1e-3)
 
 
+def test_fused_moving_obstacle_matches_reference():
+    """(B, H+1, 3, 2) per-stage obstacle centers ride the kernel's moving
+    mode and must match the vmapped solver (VERDICT r2 item 5)."""
+    H, B = 8, 2
+    cfg = sqp.SolverConfig(horizon=H, sqp_iters=2, al_iters=2)
+    p = straight_params(H, v=14.0)
+    # obstacle drifting across the horizon
+    ts = jnp.arange(H + 1, dtype=jnp.float32)[:, None, None]
+    obs0 = jnp.array([[11.0, -1.8]] * 3)
+    obs_track = obs0[None] + ts * jnp.array([0.3, 0.05])
+    p = p._replace(obs_centers=obs_track)
+    params = _batchify(p, B)
+    state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
+    assert fused_gn.eligible(cfg, params)
+    ref = sqp.solve_batch(cfg, params, state)
+    got = fused_gn.solve_batch_fused(cfg, params, state, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.viol), np.asarray(ref.viol),
+                               atol=1e-3)
+
+
+def _straight_corridor(dtype=jnp.float32, y_left=2.5, y_right=-4.0):
+    """Two straight boundary lines (left above, right below), inside-positive
+    signs — signed distance to a straight line is AFFINE, so the kernels'
+    per-stage linearization is exact and parity with the XLA path is tight.
+    """
+    n = 64
+    xs = np.linspace(1e3, -1e3, n)
+    left = np.stack([xs, np.full(n, y_left)], 1)
+    right = np.stack([-xs, np.full(n, y_right)], 1)
+    return (jnp.asarray(np.stack([left, right]), dtype),
+            jnp.ones((2,), dtype))
+
+
+def test_fused_boundary_rows_match_reference():
+    """Active road-boundary rows through the kernel's linearized path must
+    match the vmapped solver's exact polyline rows (VERDICT r2 item 5).
+    The reference ships this constraint set commented out
+    (optimizer.py:113-161); here it is first-class on the fast engine."""
+    H, B = 8, 2
+    cfg = sqp.SolverConfig(horizon=H, sqp_iters=2, al_iters=2,
+                           boundary_rows=True)
+    p = straight_params(H, v=14.0)
+    # reference line hugs the left edge -> boundary row activates
+    p = p._replace(x_ref=p.x_ref.at[:, 1].set(1.8),
+                   obs_centers=jnp.full((3, 2), -1e4))
+    bnds, signs = _straight_corridor()
+    p = p._replace(boundaries=bnds, boundary_signs=signs)
+    params = _batchify(p, B)
+    state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
+    assert fused_gn.eligible(cfg, params)
+    ref = sqp_vec.solve_batch_vec(cfg, params, state)
+    got = fused_gn.solve_batch_fused(cfg, params, state, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.viol), np.asarray(ref.viol),
+                               atol=1e-3)
+    # the boundary row genuinely binds: lateral position pulled below the
+    # reference toward the feasible side
+    assert float(jnp.max(got.X[..., 1])) < 1.6
+
+
 def test_fused_fallback_on_ineligible():
     """Boundary rows / ip method fall back to the vec path transparently."""
     H, B = 8, 2

@@ -90,16 +90,55 @@ def test_fused_ip_padded_lanes_are_benign():
                                rtol=2e-3, atol=2e-3)
 
 
-def test_fused_ip_fallback_on_ineligible():
-    """Boundary rows / moving obstacles fall back to the vmapped path."""
-    H, B = 6, 2
-    cfg = sqp.SolverConfig(horizon=H, method="ip")
+def test_fused_ip_moving_obstacle_matches_reference():
+    """(B, H+1, 3, 2) per-stage centers through the IP kernel's moving
+    mode must match the vmapped solver (VERDICT r2 item 5)."""
+    H, B = 8, 2
+    cfg = sqp.SolverConfig(horizon=H, method="ip", ip_sqp_iters=1,
+                           ip_iters=6)
     p = _obstacle_params(H)
-    # moving obstacle: (H+1, 3, 2) centers -> ineligible
-    p = p._replace(obs_centers=jnp.broadcast_to(
-        p.obs_centers[None], (H + 1, 3, 2)))
+    ts = jnp.arange(H + 1, dtype=jnp.float32)[:, None, None]
+    p = p._replace(obs_centers=p.obs_centers[None]
+                   + ts * jnp.array([0.3, 0.05]))
     params = _batchify(p, B)
     state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
+    assert fused_ip.eligible_ip(cfg, params)
+    ref = sqp.solve_batch(cfg, params, state)
+    got = fused_ip.solve_batch_fused_ip(cfg, params, state, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.viol), np.asarray(ref.viol),
+                               atol=1e-3)
+
+
+def test_fused_ip_boundary_rows_match_reference():
+    """Active boundary rows through the IP kernel's linearized path vs the
+    vmapped solver's exact polyline rows (straight lines => exact)."""
+    from tests.test_fused_gn import _straight_corridor
+    H, B = 8, 2
+    cfg = sqp.SolverConfig(horizon=H, method="ip", ip_sqp_iters=1,
+                           ip_iters=6, boundary_rows=True)
+    p = straight_params(H, v=14.0)
+    p = p._replace(x_ref=p.x_ref.at[:, 1].set(1.8),
+                   obs_centers=jnp.full((3, 2), -1e4))
+    bnds, signs = _straight_corridor()
+    p = p._replace(boundaries=bnds, boundary_signs=signs)
+    params = _batchify(p, B)
+    state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
+    assert fused_ip.eligible_ip(cfg, params)
+    ref = sqp.solve_batch(cfg, params, state)
+    got = fused_ip.solve_batch_fused_ip(cfg, params, state, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.viol), np.asarray(ref.viol),
+                               atol=1e-3)
+    assert float(jnp.max(got.X[..., 1])) < 1.6
+
+
+def test_fused_ip_fallback_on_ineligible():
+    """Boundary rows WITHOUT boundary data fall back to the vmapped path."""
+    H, B = 6, 2
+    cfg = sqp.SolverConfig(horizon=H, method="ip", boundary_rows=True)
+    params = _batchify(_obstacle_params(H), B)
+    state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
     assert not fused_ip.eligible_ip(cfg, params)
-    sol = fused_ip.solve_batch_fused_ip(cfg, params, state)
-    assert sol.U.shape == (B, H, 2)

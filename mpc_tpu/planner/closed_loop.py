@@ -467,44 +467,49 @@ def closed_loop_batch(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
     return jax.vmap(lambda p: run_closed_loop(lcfg, p))(params)
 
 
-@partial(jax.jit, static_argnums=0)
-def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
-    """Batched closed loop on the throughput hot path.
+def select_engine(scfg: sqp.SolverConfig, have_boundaries: bool):
+    """Batched-solve engine selection shared by the vec and SHARDED paths.
 
-    Same contract as ``closed_loop_batch``.  Engine selection
-    (``SolverConfig.engine``): the fused Pallas whole-solve kernel
-    (``ops.fused_gn``, 6.8-11.7x over the XLA path on v5e —
-    FUSED_ABLATION.json) when the problem is in its envelope, else the
-    lanes-trailing XLA path (``ops.sqp_vec``); falls back to the vmapped
-    path for the IP method.
+    Returns a ``(cfg, OcpParams, SqpState) -> Solution`` callable or None
+    when the method has no batched-native engine (caller falls back to the
+    vmapped per-lane path).  Engine policy (``SolverConfig.engine``): the
+    fused Pallas whole-solve kernels (``ops.fused_gn`` AL /
+    ``ops.fused_ip`` hard-constrained IP; boundary rows ride their
+    linearized per-stage rows, moving-obstacle tracks their per-stage
+    obstacle mode) when eligible on TPU, else the lanes-trailing XLA path
+    for AL and the vmapped path for IP.
     """
     from mpc_tpu.ops import fused_gn, fused_ip, sqp_vec as sqp_vec_mod
 
-    scfg = lcfg.solver
     fused_ok = (scfg.engine != "xla" and scfg.model == "ks"
-                # boundary rows ride the kernels' linearized per-stage
-                # rows; moving-obstacle tracks ride their per-stage
-                # obstacle mode ((B, H+1, 3, 2) centers)
-                and (not scfg.boundary_rows
-                     or params.boundaries is not None)
+                and (not scfg.boundary_rows or have_boundaries)
                 # the kernels are TPU-compiled; CPU runs (tests) take the
                 # XLA path unless the caller forces interpret explicitly
                 and (jax.default_backend() == "tpu"
                      or scfg.engine == "fused"))
     if scfg.method == "ip":
-        # hard-constrained (forcespro-parity) mode: the fused RTI-SQP/IP
-        # kernel when eligible, else the per-lane vmapped path
-        if not fused_ok:
-            return closed_loop_batch(lcfg, params)
-        batched_solve = fused_ip.solve_batch_fused_ip
-    elif scfg.method != "al":
+        return fused_ip.solve_batch_fused_ip if fused_ok else None
+    if scfg.method != "al":
+        return None
+    if scfg.engine == "fused" and not fused_ok:
+        raise ValueError("engine='fused' outside the kernel envelope "
+                         "(needs ks; boundary rows need boundary data)")
+    return (fused_gn.solve_batch_fused if fused_ok
+            else sqp_vec_mod.solve_batch_vec)
+
+
+@partial(jax.jit, static_argnums=0)
+def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
+    """Batched closed loop on the throughput hot path.
+
+    Same contract as ``closed_loop_batch``; engine via :func:`select_engine`
+    (fused kernels 4-58x over the XLA/vmapped paths on v5e —
+    FUSED_ABLATION.json).
+    """
+    scfg = lcfg.solver
+    batched_solve = select_engine(scfg, params.boundaries is not None)
+    if batched_solve is None:
         return closed_loop_batch(lcfg, params)
-    else:
-        if scfg.engine == "fused" and not fused_ok:
-            raise ValueError("engine='fused' outside the kernel envelope "
-                             "(needs ks/static obstacle/no boundary rows)")
-        batched_solve = (fused_gn.solve_batch_fused if fused_ok
-                         else sqp_vec_mod.solve_batch_vec)
 
     n = params.x_init.shape[0]
     dtype = params.x_init.dtype

@@ -40,9 +40,15 @@ def test_sharded_solve_matches_vmap():
 
     mesh = pm.make_mesh()
     sol_sharded = pb.solve_batch_sharded(cfg, params, state, mesh)
+    # sharded == unsharded through the SAME engine (sqp_vec on CPU) ...
+    from mpc_tpu.ops import sqp_vec
+    sol_vec = sqp_vec.solve_batch_vec(cfg, params, state)
+    np.testing.assert_allclose(np.asarray(sol_sharded.U),
+                               np.asarray(sol_vec.U), rtol=1e-4, atol=1e-5)
+    # ... and close to the per-lane vmapped solver (engine tolerance)
     sol_plain = sqp.solve_batch(cfg, params, state)
     np.testing.assert_allclose(np.asarray(sol_sharded.U),
-                               np.asarray(sol_plain.U), rtol=1e-4, atol=1e-5)
+                               np.asarray(sol_plain.U), rtol=5e-3, atol=5e-3)
     # outputs actually live sharded over dp
     assert not sol_sharded.U.sharding.is_fully_replicated
 
@@ -85,3 +91,28 @@ def test_closed_loop_batch_sharded():
     # lanes differ (independent noise) but all reach the goal region
     assert np.abs(X[0] - X[1]).max() > 1e-4
     assert np.all(np.abs(X[:, -1, 0] - 87.8) < 3.0)
+
+def test_sharded_fused_matches_unsharded_fused():
+    """shard_map-composed fused engine == unsharded fused kernel (VERDICT
+    r2 item 4): each device runs the Pallas whole-solve kernel on its lane
+    shard; results must match the single-call kernel bitwise-close."""
+    from mpc_tpu.ops import fused_gn
+
+    cfg = sqp.SolverConfig(horizon=6, sqp_iters=2, al_iters=1,
+                           engine="fused")
+    base = straight_params(6, v=15.0)
+    n = 4
+    params = pb.replicate_ocp(base, n)
+    params = pb.perturb_x0(params, jax.random.PRNGKey(2),
+                           jnp.array([0.5, 0.3, 0.0, 0.2, 0.0]))
+    state = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (n,) + x.shape),
+        sqp.init_state(cfg))
+    ref = fused_gn.solve_batch_fused(cfg, params, state, interpret=True)
+    mesh = pm.make_mesh((2, 1), devices=jax.devices()[:2])
+    got = pb.solve_batch_sharded(cfg, params, state, mesh)
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.status),
+                                  np.asarray(ref.status))
+    assert not got.U.sharding.is_fully_replicated

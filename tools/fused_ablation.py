@@ -76,9 +76,11 @@ def envelope_rows(results):
     # boundary corridor (straight lines; see tests/test_fused_gn.py)
     n = 64
     xs = np.linspace(1e3, -1e3, n)
+    # corridor wide enough that the overtake line (y up to 3.6 + r_ego
+    # 1.2 + obstacle clearance) stays strictly feasible
     bnds = jnp.asarray(np.stack([
-        np.stack([xs, np.full(n, 4.5)], 1),
-        np.stack([-xs, np.full(n, -4.5)], 1)]), jnp.float32)
+        np.stack([xs, np.full(n, 6.5)], 1),
+        np.stack([-xs, np.full(n, -6.5)], 1)]), jnp.float32)
     bounded = base._replace(
         boundaries=jnp.broadcast_to(bnds[None], (B,) + bnds.shape),
         boundary_signs=jnp.ones((B, 2), jnp.float32))

@@ -112,13 +112,26 @@ class SolverConfig:
     # geometric ladder tuned against golden-parity + batch-feasibility sweeps
     # (tests/test_closed_loop.py quality gates); widen for stiffer penalties
     alphas: Tuple[float, ...] = (1.0, 0.35, 0.12, 0.04, 0.012, 1e-3)
-    tol_stat: float = 1e-4           # KKT stationarity tolerance (status)
+    tol_stat: float = 0.5            # KKT stationarity tolerance (status).
+                                     # CALIBRATED against measured warm
+                                     # steady-state residual distributions
+                                     # (tools/calibrate_status.py,
+                                     # STATUS_CALIB.json): converged warm
+                                     # AL solves on the reference LF tracks
+                                     # cluster at p50 0.004-0.07 in cost-
+                                     # gradient units, while still-moving
+                                     # steps sit >= 3; 0.5 separates the
+                                     # clusters with margin.  (The round-2
+                                     # default 1e-4 was never met at any
+                                     # production budget — status==1
+                                     # carried no information.)
     tol_stat_ip: float = 1.0         # Lagrangian-stationarity tolerance for
                                      # ip-mode status==1 (gradient of the
-                                     # dual-weighted Lagrangian; RTI takes a
-                                     # fixed QP budget, so the residual is
-                                     # honest-but-loose vs the AL path's
-                                     # merit-gradient tol_stat)
+                                     # dual-weighted Lagrangian).  Same
+                                     # calibration: ip warm steady-state
+                                     # p50 is 0.12-0.9 on the LF tracks
+                                     # (72%/51% of warm steps converge at
+                                     # 1.0), hard-maneuver steps >= 17.
     tol_feas: float = 1e-4           # constraint violation tolerance (status)
     tol_infeas: float = 0.05         # violation above which a lane reports
                                      # status -7 (genuinely infeasible)

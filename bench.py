@@ -27,7 +27,7 @@ PER_CHIP_TARGET = 5000.0 / 8.0  # north-star per-chip share on a v5e-8
 
 
 def run_bench(batch: int = 1024, horizon: int = 30, n_steps: int = 20,
-              repeats: int = 3):
+              repeats: int = 6):
     from mpc_tpu.planner import closed_loop as cl
     from mpc_tpu.utils import synthetic
 
@@ -62,9 +62,10 @@ def run_bench(batch: int = 1024, horizon: int = 30, n_steps: int = 20,
 def main():
     n_dev = len(jax.devices())
     platform = jax.devices()[0].platform
-    # batch-size sweep on v5e (PROGRESS notes): 1024 -> 18.1k, 2048 -> 18.6k,
-    # 4096 -> 17.2k solves/s; 2048 saturates the chip
-    batch = 2048 if platform != "cpu" else 128
+    # round-3 fused-engine batch sweep on v5e (closed-loop solves/s/chip):
+    # 2048 -> 428k, 4096 -> 301-364k, 8192 -> 538-569k, 16384 -> 530k;
+    # 8192 (8 lane tiles) is the ceiling
+    batch = 8192 if platform != "cpu" else 128
     solves_per_s, step_latency, ok, total = run_bench(batch=batch)
     per_chip = solves_per_s / n_dev
     result = {

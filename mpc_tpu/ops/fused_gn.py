@@ -32,7 +32,8 @@ consistent, so a feedback rollout at alpha=0 reproduces (X, U) exactly.
 alpha is applied in ONE extra rollout — no candidate trajectories are ever
 stored or where-selected.
 
-Eligibility: KS model, method='al', NU=2; static ((B, 3, 2)) or moving
+Eligibility: KS or ST model (ST Jacobians via the in-kernel dual-number
+forward mode), method='al', NU=2; static ((B, 3, 2)) or moving
 ((B, H+1, 3, 2) per-stage) obstacle centers; optional road-boundary rows
 via per-stage linearization at the warm-start trajectory
 (``linearize_boundaries`` — exact for straight boundary segments,
@@ -270,6 +271,233 @@ def _lin_step(x, u, dt, inv_l, integrator):
 
 
 # ---------------------------------------------------------------------------
+# in-kernel forward-mode dual numbers (generic analytic Jacobians)
+# ---------------------------------------------------------------------------
+#
+# The KS fast path above hand-unrolls its 6-nonzero Jacobian.  For richer
+# models (the 7-state ST single-track with tire dynamics) hand-deriving the
+# chain rule is error-prone, so the kernel carries a tiny forward-mode AD:
+# each scalar is (value, tangent-tuple) over the nx+nu seed directions, and
+# the ODE is written ONCE — running it on plain registers gives values
+# (rollouts), on duals gives the exact RK4 (A, B) like ``jax.jacfwd``.
+
+
+class _Dual:
+    __slots__ = ("v", "t")
+
+    def __init__(self, v, t=()):
+        self.v = v
+        self.t = tuple(t)
+
+    def _bin(self, o):
+        return o if isinstance(o, _Dual) else _Dual(o, (0.0,) * len(self.t))
+
+    def __add__(self, o):
+        o = self._bin(o)
+        return _Dual(self.v + o.v,
+                     tuple(a + b for a, b in zip(self.t, o.t)))
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        o = self._bin(o)
+        return _Dual(self.v - o.v,
+                     tuple(a - b for a, b in zip(self.t, o.t)))
+
+    def __rsub__(self, o):
+        return self._bin(o).__sub__(self)
+
+    def __mul__(self, o):
+        o = self._bin(o)
+        return _Dual(self.v * o.v,
+                     tuple(a * o.v + self.v * b
+                           for a, b in zip(self.t, o.t)))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        o = self._bin(o)
+        inv = 1.0 / o.v
+        q = self.v * inv
+        return _Dual(q, tuple((a - q * b) * inv
+                              for a, b in zip(self.t, o.t)))
+
+    def __rtruediv__(self, o):
+        return self._bin(o).__truediv__(self)
+
+    def __neg__(self):
+        return _Dual(-self.v, tuple(-a for a in self.t))
+
+
+def _dchain(val, dval, x: _Dual) -> _Dual:
+    return _Dual(val, tuple(dval * a for a in x.t))
+
+
+def _dcos(x):
+    return _dchain(jnp.cos(x.v), -jnp.sin(x.v), x)
+
+
+def _dsin(x):
+    return _dchain(jnp.sin(x.v), jnp.cos(x.v), x)
+
+
+def _dtan(x):
+    t = jnp.tan(x.v)
+    return _dchain(t, 1.0 + t * t, x)
+
+
+def _dsqrt(x):
+    r = jnp.sqrt(x.v)
+    return _dchain(r, 0.5 / r, x)
+
+
+def _dwhere(cond, a: _Dual, b: _Dual) -> _Dual:
+    return _Dual(jnp.where(cond, a.v, b.v),
+                 tuple(jnp.where(cond, ta, tb)
+                       for ta, tb in zip(a.t, b.t)))
+
+
+def _dguard(x: _Dual, lo: float) -> _Dual:
+    """|v| floor like dynamics.st_ode's v_safe (value-only clamp)."""
+    return _Dual(jnp.where(jnp.abs(x.v) < lo, lo, x.v), x.t)
+
+
+def _st_ode_d(x, u, veh):
+    """7-state ST ODE on duals (or plain registers with empty tangents).
+
+    Single-source parity with ``dynamics.st_ode`` (reference
+    ``configuration.py:370-398``) including the low-speed kinematic blend.
+    x: 7 _Duals [px, py, delta, v, psi, psiDot, beta]; u: 2 _Duals.
+    """
+    g = 9.81
+    mu = veh.tire.p_dy1
+    C_Sf = -veh.tire.p_ky1 / veh.tire.p_dy1
+    C_Sr = C_Sf
+    lf, lr = veh.a, veh.b
+    l = lf + lr
+    h, m, I = veh.h_s, veh.m, veh.I_z
+
+    delta, v, psi, psi_dot, beta = x[2], x[3], x[4], x[5], x[6]
+    u0, u1 = u[0], u[1]
+
+    td = _dtan(delta)
+    # low-speed kinematic branch.  beta_kin = arctan(tan(delta) lr/l), but
+    # Mosaic has no atan lowering — only cos/sin of it are needed:
+    # cos(arctan(t)) = 1/sqrt(1+t^2), sin(arctan(t)) = t/sqrt(1+t^2).
+    tb0 = td * (lr / l)
+    inv_hyp = 1.0 / _dsqrt(tb0 * tb0 + 1.0)
+    cbk = inv_hyp
+    sbk = tb0 * inv_hyp
+    cpsi = _dcos(psi)
+    spsi = _dsin(psi)
+    f0_lo = v * (cbk * cpsi - sbk * spsi)
+    f1_lo = v * (sbk * cpsi + cbk * spsi)
+    f4_lo = v * cbk * td * (1.0 / l)
+    cd = _dcos(delta)
+    cd2 = cd * cd
+    tb = td * (lr / l)
+    d_beta = (u0 * lr) / ((cd2 * (1.0 + tb * tb)) * l)
+    cb = _dcos(beta)
+    sb = _dsin(beta)
+    dd_psi = (u1 * cb * td - v * sb * d_beta * td
+              + v * cb * u0 / cd2) * (1.0 / l)
+
+    # high-speed tire branch
+    v_safe = _dguard(v, 1e-3)
+    f0_hi = v * _dcos(beta + psi)
+    f1_hi = v * _dsin(beta + psi)
+    glr_uh = _Dual(g * lr, (0.0,) * len(v.t)) - u1 * h
+    glf_uh = _Dual(g * lf, (0.0,) * len(v.t)) + u1 * h
+    f5_hi = ((-(mu * m) / (I * l)) * (lf * lf * C_Sf) * glr_uh / v_safe
+             * psi_dot
+             + ((-(mu * m) / (I * l)) * (lr * lr * C_Sr)) * glf_uh / v_safe
+             * psi_dot
+             + ((mu * m) / (I * l)) * (lr * C_Sr) * glf_uh * beta
+             - ((mu * m) / (I * l)) * (lf * C_Sf) * glr_uh * beta
+             + ((mu * m) / (I * l)) * (lf * C_Sf) * glr_uh * delta)
+    f6_hi = ((mu / l) * ((C_Sr * lr) * glf_uh - (C_Sf * lf) * glr_uh)
+             / (v_safe * v_safe) - 1.0) * psi_dot \
+        - (mu / l) * (C_Sr * glf_uh + C_Sf * glr_uh) / v_safe * beta \
+        + (mu / l) * (C_Sf * glr_uh) / v_safe * delta
+
+    low = jnp.abs(v.v) < 0.1
+    return [
+        _dwhere(low, f0_lo, f0_hi),
+        _dwhere(low, f1_lo, f1_hi),
+        u0,
+        u1,
+        _dwhere(low, f4_lo, psi_dot),
+        _dwhere(low, dd_psi, f5_hi),
+        _dwhere(low, d_beta, f6_hi),
+    ]
+
+
+def _st_step_rows(x, u, dt, veh, integrator):
+    """Discrete ST step on plain row-lists (values only, via empty duals)."""
+    nx = len(x)
+    xd = [_Dual(xi, ()) for xi in x]
+    ud = [_Dual(ui, ()) for ui in u]
+
+    def ode(xs):
+        return _st_ode_d(xs, ud, veh)
+
+    def addd(a, s, k):
+        return [a[i] + _Dual(s, ()) * k[i] for i in range(nx)]
+
+    if integrator == "euler":
+        out = addd(xd, dt, ode(xd))
+        return [o.v for o in out]
+    k1 = ode(xd)
+    k2 = ode(addd(xd, 0.5 * dt, k1))
+    k3 = ode(addd(xd, 0.5 * dt, k2))
+    k4 = ode(addd(xd, dt, k3))
+    out = [xd[i] + _Dual(dt / 6.0, ()) * (k1[i] + _Dual(2.0, ()) * k2[i]
+                                          + _Dual(2.0, ()) * k3[i] + k4[i])
+           for i in range(nx)]
+    return [o.v for o in out]
+
+
+def _st_lin_step(x, u, dt, veh, integrator):
+    """Exact (A, B) of the discrete ST step via dual-number RK4/Euler.
+
+    Matches ``jax.jacfwd`` of ``dynamics.make_step_fn('rk4'|'euler', ...,
+    'st')`` to fp precision.  Returns row-lists A (7x7), Bm (7x2).
+    """
+    nx = len(x)
+    ns = nx + NU
+    zero = jnp.zeros_like(x[0])
+
+    def seed(i):
+        return tuple(1.0 if j == i else 0.0 for j in range(ns))
+
+    xd = [_Dual(x[i], tuple(jnp.full_like(zero, v) for v in seed(i)))
+          for i in range(nx)]
+    ud = [_Dual(u[i], tuple(jnp.full_like(zero, v) for v in seed(nx + i)))
+          for i in range(NU)]
+
+    def ode(xs):
+        return _st_ode_d(xs, ud, veh)
+
+    def addd(a, s, k):
+        return [a[i] + _Dual(s, (0.0,) * ns) * k[i] for i in range(nx)]
+
+    if integrator == "euler":
+        out = addd(xd, dt, ode(xd))
+    else:
+        k1 = ode(xd)
+        k2 = ode(addd(xd, 0.5 * dt, k1))
+        k3 = ode(addd(xd, 0.5 * dt, k2))
+        k4 = ode(addd(xd, dt, k3))
+        two = _Dual(2.0, (0.0,) * ns)
+        out = [xd[i] + _Dual(dt / 6.0, (0.0,) * ns)
+               * (k1[i] + two * k2[i] + two * k3[i] + k4[i])
+               for i in range(nx)]
+    A = [[out[i].t[j] for j in range(nx)] for i in range(nx)]
+    Bm = [[out[i].t[nx + j] for j in range(NU)] for i in range(nx)]
+    return A, Bm
+
+
+# ---------------------------------------------------------------------------
 # constraint rows: values + closed-form gradients (constraints.py parity)
 # ---------------------------------------------------------------------------
 
@@ -295,7 +523,7 @@ def _compute_rows(x, u_eff, obs, consts, is_term: bool, k_is0, bnd=None):
     circle center (cx, cy), the same (px, py, psi) gradient structure as
     the obstacle circle rows.  Empty when boundary rows are disabled.
     """
-    px, py, delta, v, psi = x
+    px, py, delta, v, psi = x[:5]  # ST states append (psiDot, beta)
     a = u_eff[1]
     inv_l = consts["inv_l"]
     r = _Rows()
@@ -417,7 +645,7 @@ def _stage_psi(r: _Rows, bounds, lam_lo, lam_hi, mu):
 
 def _stage_cost_rows(x, u, xref, wq, wr):
     c = None
-    for i in range(NX):
+    for i in range(len(x)):
         dxi = x[i] - xref[i]
         term = wq[i] * dxi * dxi
         c = term if c is None else c + term
@@ -428,7 +656,7 @@ def _stage_cost_rows(x, u, xref, wq, wr):
 
 def _term_cost_rows(x, xref, wqN):
     c = None
-    for i in range(NX):
+    for i in range(len(x)):
         dxi = x[i] - xref[i]
         term = wqN[i] * dxi * dxi
         c = term if c is None else c + term
@@ -461,13 +689,14 @@ def _assemble_quad(r: _Rows, algr, x, u_eff, xref, wq, wr,
     Returns (Q 5x5 rows, R 2x2, M 5x2, qx 5, qu 2) for a non-terminal
     stage; (QH 5x5, qH 5) when is_term.
     """
+    nxa = len(x)
     z = jnp.zeros_like(x[0])
-    Q = [[z if i != j else jnp.zeros_like(z) for j in range(NX)]
-         for i in range(NX)]
-    qx = [jnp.zeros_like(z) for _ in range(NX)]
+    Q = [[z if i != j else jnp.zeros_like(z) for j in range(nxa)]
+         for i in range(nxa)]
+    qx = [jnp.zeros_like(z) for _ in range(nxa)]
     if not is_term:
         R = [[jnp.zeros_like(z) for _ in range(NU)] for _ in range(NU)]
-        M = [[jnp.zeros_like(z) for _ in range(NU)] for _ in range(NX)]
+        M = [[jnp.zeros_like(z) for _ in range(NU)] for _ in range(nxa)]
         qu = [jnp.zeros_like(z) for _ in range(NU)]
 
     # friction row -> (delta, v, a) block
@@ -528,11 +757,11 @@ def _assemble_quad(r: _Rows, algr, x, u_eff, xref, wq, wr,
     # quadratic cost (exact): Q += 2 diag(w), q += 2 w dx
     if is_term:
         if use_terminal:
-            for i in range(NX):
+            for i in range(nxa):
                 Q[i][i] = Q[i][i] + 2.0 * wqN[i]
                 qx[i] = qx[i] + 2.0 * wqN[i] * (x[i] - xref[i])
     else:
-        for i in range(NX):
+        for i in range(nxa):
             Q[i][i] = Q[i][i] + 2.0 * wq[i]
             qx[i] = qx[i] + 2.0 * wq[i] * (x[i] - xref[i])
         for i in range(NU):
@@ -578,9 +807,24 @@ def make_consts(cfg: S.SolverConfig) -> dict:
 
 def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
     consts = make_consts(cfg)
+    nxk = S.solver_nx(cfg)  # 5 (KS) or 7 (ST)
     dt = float(cfg.dt)
     inv_l = consts["inv_l"]
     integ = cfg.integrator
+    if cfg.model == "st":
+        _veh = cfg.vehicle
+
+        def step_f(x, u):
+            return _st_step_rows(x, u, dt, _veh, integ)
+
+        def lin_f(x, u):
+            return _st_lin_step(x, u, dt, _veh, integ)
+    else:
+        def step_f(x, u):
+            return _step_rows(x, u, dt, inv_l, integ)
+
+        def lin_f(x, u):
+            return _lin_step(x, u, dt, inv_l, integ)
     reg = float(cfg.reg)
     # bound-relative friction violation (sqp.row_scales): row 0 is in
     # (m/s^2)^2 (forcespro) / m/s^2 (casadi) units, other rows in meters
@@ -615,10 +859,10 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
             def obs_at(k):
                 return _obs0
         mind = mind_ref[0]
-        wq = [w_ref[i] for i in range(NX)]
-        wr = [w_ref[NX + i] for i in range(NU)]
-        wqN = [w_ref[NX + NU + i] for i in range(NX)]
-        x0 = [x0_ref[i] for i in range(NX)]
+        wq = [w_ref[i] for i in range(nxk)]
+        wr = [w_ref[nxk + i] for i in range(NU)]
+        wqN = [w_ref[nxk + NU + i] for i in range(nxk)]
+        x0 = [x0_ref[i] for i in range(nxk)]
         if consts["boundary"]:
             def bnd_at(k):
                 return [bnd_ref[k, i] for i in range(18)]
@@ -634,7 +878,7 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
                     for i in range(NU)]
 
         def stage_refs(k):
-            return (_read_vec(xref_ref, k, NX),
+            return (_read_vec(xref_ref, k, nxk),
                     _read_vec(lamlo_out, k, nr),
                     _read_vec(lamhi_out, k, nr),
                     _read_vec(mu_out, k, nr))
@@ -658,10 +902,10 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
         def roll_body(k, x):
             X_ref[k] = jnp.stack(x)
             u = _read_vec(u_out, k, NU)
-            return jnp.stack(_step_rows(x, u, dt, inv_l, integ))
+            return jnp.stack(step_f(x, u))
 
         xH = jax.lax.fori_loop(0, H, lambda k, xs: roll_body(
-            k, [xs[i] for i in range(NX)]), jnp.stack(x0))
+            k, [xs[i] for i in range(nxk)]), jnp.stack(x0))
         X_ref[H] = xH
 
         zero_alpha = jnp.zeros_like(x0[0])
@@ -675,19 +919,19 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
             """
             def body(k, carry):
                 x, acc = carry
-                xl = [x[i] for i in range(NX)]
-                xb = _read_vec(X_ref, k, NX)
+                xl = [x[i] for i in range(nxk)]
+                xb = _read_vec(X_ref, k, nxk)
                 ub = _read_vec(u_out, k, NU)
-                Kk = _read_vec(K_scr, k, NU * NX)
+                Kk = _read_vec(K_scr, k, NU * nxk)
                 dk = _read_vec(d_scr, k, NU)
-                dxb = [xl[i] - xb[i] for i in range(NX)]
+                dxb = [xl[i] - xb[i] for i in range(nxk)]
                 u = []
                 for i in range(NU):
-                    fb = sum(Kk[i * NX + j] * dxb[j] for j in range(NX))
+                    fb = sum(Kk[i * nxk + j] * dxb[j] for j in range(nxk))
                     u.append(ub[i] + alpha * dk[i] + fb)
                 u = clip_u(u)
                 acc = acc + stage_merit(xl, u, k, is_term=False)
-                x_next = _step_rows(xl, u, dt, inv_l, integ)
+                x_next = step_f(xl, u)
                 if write:
                     X_ref[k] = jnp.stack(xl)
                     u_out[k] = jnp.stack(u)
@@ -695,7 +939,7 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
 
             xH2, acc = jax.lax.fori_loop(
                 0, H, body, (jnp.stack(x0), jnp.zeros_like(x0[0])))
-            xHl = [xH2[i] for i in range(NX)]
+            xHl = [xH2[i] for i in range(nxk)]
             acc = acc + stage_merit(xHl, [zero_alpha, zero_alpha], H,
                                     is_term=True)
             if write:
@@ -706,7 +950,7 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
         for _ai in range(cfg.al_iters):
             for _si in range(cfg.sqp_iters):
                 # backward sweep (terminal quad + reverse stage recursion)
-                xT = _read_vec(X_ref, H, NX)
+                xT = _read_vec(X_ref, H, nxk)
                 xrefT, lam_loT, lam_hiT, muT = stage_refs(H)
                 rT = _compute_rows(xT, [zero_alpha, zero_alpha],
                                    obs_at(H), consts, True, k_is0=False,
@@ -720,9 +964,9 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
                 def bwd_body(j, carry):
                     P, p = carry  # (5,5,8,128) stacked, (5,8,128)
                     k = H - 1 - j
-                    Pl = [[P[i, j2] for j2 in range(NX)] for i in range(NX)]
-                    pl_ = [p[i] for i in range(NX)]
-                    x = _read_vec(X_ref, k, NX)
+                    Pl = [[P[i, j2] for j2 in range(nxk)] for i in range(nxk)]
+                    pl_ = [p[i] for i in range(nxk)]
+                    x = _read_vec(X_ref, k, nxk)
                     u = _read_vec(u_out, k, NU)
                     xref_k, lam_lo, lam_hi, mu = stage_refs(k)
                     r = _compute_rows(x, u, obs_at(k), consts, False,
@@ -730,30 +974,30 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
                     algr = _row_al_grads(r, bounds_k, lam_lo, lam_hi, mu)
                     Q, R, M, qx, qu = _assemble_quad(
                         r, algr, x, u, xref_k, wq, wr, False)
-                    A, Bm = _lin_step(x, u, dt, inv_l, integ)
+                    A, Bm = lin_f(x, u)
 
-                    At = [[A[i][j2] for i in range(NX)] for j2 in range(NX)]
-                    Bt = [[Bm[i][j2] for i in range(NX)]
+                    At = [[A[i][j2] for i in range(nxk)] for j2 in range(nxk)]
+                    Bt = [[Bm[i][j2] for i in range(nxk)]
                           for j2 in range(NU)]
-                    PA = [[sum(Pl[i][t2] * A[t2][j2] for t2 in range(NX))
-                           for j2 in range(NX)] for i in range(NX)]
-                    PB = [[sum(Pl[i][t2] * Bm[t2][j2] for t2 in range(NX))
-                           for j2 in range(NU)] for i in range(NX)]
+                    PA = [[sum(Pl[i][t2] * A[t2][j2] for t2 in range(nxk))
+                           for j2 in range(nxk)] for i in range(nxk)]
+                    PB = [[sum(Pl[i][t2] * Bm[t2][j2] for t2 in range(nxk))
+                           for j2 in range(NU)] for i in range(nxk)]
                     Qxx = [[Q[i][j2] + sum(At[i][t2] * PA[t2][j2]
-                                           for t2 in range(NX))
-                            for j2 in range(NX)] for i in range(NX)]
+                                           for t2 in range(nxk))
+                            for j2 in range(nxk)] for i in range(nxk)]
                     Quu = [[R[i][j2] + sum(Bt[i][t2] * PB[t2][j2]
-                                           for t2 in range(NX))
+                                           for t2 in range(nxk))
                             for j2 in range(NU)] for i in range(NU)]
-                    Mt = [[M[i][j2] for i in range(NX)] for j2 in range(NU)]
+                    Mt = [[M[i][j2] for i in range(nxk)] for j2 in range(NU)]
                     Qux = [[Mt[i][j2] + sum(Bt[i][t2] * PA[t2][j2]
-                                            for t2 in range(NX))
-                            for j2 in range(NX)] for i in range(NU)]
+                                            for t2 in range(nxk))
+                            for j2 in range(nxk)] for i in range(NU)]
                     gx = [qx[i] + sum(At[i][t2] * pl_[t2]
-                                      for t2 in range(NX))
-                          for i in range(NX)]
+                                      for t2 in range(nxk))
+                          for i in range(nxk)]
                     gu = [qu[i] + sum(Bt[i][t2] * pl_[t2]
-                                      for t2 in range(NX))
+                                      for t2 in range(nxk))
                           for i in range(NU)]
 
                     a = Quu[0][0] + reg
@@ -764,29 +1008,29 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
                     Qi = [[dd2 * inv_det, -b * inv_det],
                           [-c * inv_det, a * inv_det]]
                     Kk = [[-(Qi[i][0] * Qux[0][j2] + Qi[i][1] * Qux[1][j2])
-                           for j2 in range(NX)] for i in range(NU)]
+                           for j2 in range(nxk)] for i in range(NU)]
                     dk = [-(Qi[i][0] * gu[0] + Qi[i][1] * gu[1])
                           for i in range(NU)]
                     K_scr[k] = jnp.stack(
-                        [Kk[i][j2] for i in range(NU) for j2 in range(NX)])
+                        [Kk[i][j2] for i in range(NU) for j2 in range(nxk)])
                     d_scr[k] = jnp.stack(dk)
 
                     QuxT = [[Qux[i][j2] for i in range(NU)]
-                            for j2 in range(NX)]
+                            for j2 in range(nxk)]
                     P_new = [[Qxx[i][j2]
                               + QuxT[i][0] * Kk[0][j2]
                               + QuxT[i][1] * Kk[1][j2]
-                              for j2 in range(NX)] for i in range(NX)]
+                              for j2 in range(nxk)] for i in range(nxk)]
                     P_sym = jnp.stack([
                         jnp.stack([0.5 * (P_new[i][j2] + P_new[j2][i])
-                                   for j2 in range(NX)])
-                        for i in range(NX)])
+                                   for j2 in range(nxk)])
+                        for i in range(nxk)])
                     p_new = jnp.stack([gx[i] + QuxT[i][0] * dk[0]
                                        + QuxT[i][1] * dk[1]
-                                       for i in range(NX)])
+                                       for i in range(nxk)])
                     return (P_sym, p_new)
 
-                P0 = jnp.stack([jnp.stack(QH[i]) for i in range(NX)])
+                P0 = jnp.stack([jnp.stack(QH[i]) for i in range(nxk)])
                 p0 = jnp.stack(qH)
                 jax.lax.fori_loop(0, H, bwd_body, (P0, p0))
 
@@ -805,7 +1049,7 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
             # --- multiplier / penalty update (all stages) -------------------
             def upd_body(k, _):
                 is_last = k == H  # traced; handled via where on u mask
-                x = _read_vec(X_ref, k, NX)
+                x = _read_vec(X_ref, k, nxk)
                 u = _read_vec(u_out, jnp.minimum(k, H - 1), NU)
                 u_eff = [jnp.where(is_last, 0.0, u[i]) for i in range(NU)]
                 xref_k, lam_lo, lam_hi, mu = stage_refs(k)
@@ -859,7 +1103,7 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
         # --- diagnostics: viol, cost, merit, KKT stationarity ---------------
         # adjoint recursion: lam_H = qH; g_u[k] = qu + B' lam_{k+1};
         # lam_k = qx + A' lam_{k+1}
-        xT = _read_vec(X_ref, H, NX)
+        xT = _read_vec(X_ref, H, nxk)
         xrefT, lam_loT, lam_hiT, muT = stage_refs(H)
         rT = _compute_rows(xT, [zero_alpha, zero_alpha], obs_at(H),
                            consts, True, k_is0=False, bnd=bnd_at(H))
@@ -881,8 +1125,8 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
         def diag_body(j, carry):
             lam, stat, viol, cost, merit = carry
             k = H - 1 - j
-            laml = [lam[i] for i in range(NX)]
-            x = _read_vec(X_ref, k, NX)
+            laml = [lam[i] for i in range(nxk)]
+            x = _read_vec(X_ref, k, nxk)
             u = _read_vec(u_out, k, NU)
             xref_k, lam_lo, lam_hi, mu = stage_refs(k)
             r = _compute_rows(x, u, obs_at(k), consts, False,
@@ -890,12 +1134,12 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
             algr = _row_al_grads(r, bounds_k, lam_lo, lam_hi, mu)
             _, _, _, qx, qu = _assemble_quad(r, algr, x, u, xref_k, wq, wr,
                                              False)
-            A, Bm = _lin_step(x, u, dt, inv_l, integ)
-            g_u = [qu[i] + sum(Bm[t2][i] * laml[t2] for t2 in range(NX))
+            A, Bm = lin_f(x, u)
+            g_u = [qu[i] + sum(Bm[t2][i] * laml[t2] for t2 in range(nxk))
                    for i in range(NU)]
             lam_new = jnp.stack(
-                [qx[i] + sum(A[t2][i] * laml[t2] for t2 in range(NX))
-                 for i in range(NX)])
+                [qx[i] + sum(A[t2][i] * laml[t2] for t2 in range(nxk))
+                 for i in range(nxk)])
             stat = jnp.maximum(stat,
                                jnp.maximum(jnp.abs(g_u[0]),
                                            jnp.abs(g_u[1])))
@@ -930,11 +1174,11 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
 
 
 def eligible(cfg: S.SolverConfig, params: S.OcpParams) -> bool:
-    return (cfg.method == "al" and cfg.model == "ks"
+    return (cfg.method == "al" and cfg.model in ("ks", "st")
             and (not cfg.boundary_rows or params.boundaries is not None)
             and params.obs_centers.ndim in (3, 4)      # static (B, 3, 2)
             # or moving (B, H+1, 3, 2) per-stage predicted centers
-            and params.x_ref.shape[-1] == NX)
+            and params.x_ref.shape[-1] in (NX, S.solver_nx(cfg)))
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
@@ -945,6 +1189,7 @@ def _solve_packed(cfg, x0p, xrefp, obsp, mindp, wp, bndp, Up, llp, lhp,
     H = cfg.horizon
     moving = obsp.ndim == 5  # (tiles, H+1, 6, 8, 128) vs (tiles, 6, 8, 128)
     nr = llp.shape[2]        # NROWS (+6 with boundary rows)
+    nx = x0p.shape[1]        # 5 (KS) or 7 (ST)
     kernel = _make_kernel(cfg, H, moving)
 
     def tile_spec(*mid):
@@ -961,7 +1206,7 @@ def _solve_packed(cfg, x0p, xrefp, obsp, mindp, wp, bndp, Up, llp, lhp,
 
     dtype = x0p.dtype
     out_shape = (
-        jax.ShapeDtypeStruct((tiles, H + 1, NX, _SUB, _LANES), dtype),  # X
+        jax.ShapeDtypeStruct((tiles, H + 1, nx, _SUB, _LANES), dtype),  # X
         jax.ShapeDtypeStruct(Up.shape, dtype),
         jax.ShapeDtypeStruct(llp.shape, dtype),
         jax.ShapeDtypeStruct(lhp.shape, dtype),
@@ -973,22 +1218,22 @@ def _solve_packed(cfg, x0p, xrefp, obsp, mindp, wp, bndp, Up, llp, lhp,
         squeezed,
         grid=(tiles,),
         in_specs=[
-            tile_spec(NX), tile_spec(H + 1, NX),
+            tile_spec(nx), tile_spec(H + 1, nx),
             tile_spec(H + 1, 6) if moving else tile_spec(6), tile_spec(1),
-            tile_spec(NX + NU + NX),
+            tile_spec(nx + NU + nx),
             # boundary-row linear models, or a 1-wide dummy when disabled
             tile_spec(H + 1, 18) if cfg.boundary_rows else tile_spec(1),
             tile_spec(H, NU), tile_spec(H + 1, nr), tile_spec(H + 1, nr),
             tile_spec(H + 1, nr), tile_spec(H + 1, nr),
         ],
         out_specs=(
-            tile_spec(H + 1, NX), tile_spec(H, NU), tile_spec(H + 1, nr),
+            tile_spec(H + 1, nx), tile_spec(H, NU), tile_spec(H + 1, nr),
             tile_spec(H + 1, nr), tile_spec(H + 1, nr),
             tile_spec(H + 1, nr), tile_spec(4),
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((H, NU * NX, _SUB, _LANES), dtype),   # K
+            pltpu.VMEM((H, NU * nx, _SUB, _LANES), dtype),   # K
             pltpu.VMEM((H, NU, _SUB, _LANES), dtype),        # d
         ],
         input_output_aliases={6: 1, 7: 2, 8: 3, 9: 4, 10: 5},
@@ -1015,6 +1260,10 @@ def solve_batch_fused(cfg: S.SolverConfig, params: S.OcpParams,
     # no TPU attached (CPU tests): run the kernel through the interpreter
     interpret = interpret or jax.default_backend() != "tpu"
 
+    # widen KS-schema params to the configured model's nx (ST): batch-safe
+    # (normalize_params only touches trailing axes)
+    params = S.normalize_params(cfg, params)
+    nx = S.solver_nx(cfg)
     B = params.x0.shape[0]
     H = cfg.horizon
     padB = _cdiv(B, LANE_TILE) * LANE_TILE
@@ -1031,7 +1280,7 @@ def solve_batch_fused(cfg: S.SolverConfig, params: S.OcpParams,
                                 (padB - B,) + x.shape[1:])
         return jnp.concatenate([x, fill], axis=0)
 
-    benign_x = np.zeros((NX,), np.float32)
+    benign_x = np.zeros((nx,), np.float32)
     benign_x[3] = 1.0  # v = 1
     x0p = _pack(pad_rows(params.x0, benign_x), padB)
     xrefp = _pack(pad_rows(params.x_ref, benign_x), padB)

@@ -30,7 +30,8 @@ vmapped XLA path remains the executable spec; equivalence is tested in
 
 Layout identical to ``fused_gn``: every per-lane scalar is an (8, 128)
 vector register over the 1024-lane tile; 5x5/2x2 algebra unrolls into VPU
-FMAs.  Eligibility: KS model, method='ip'; static or per-stage moving
+FMAs.  Eligibility: KS or ST model, method='ip'; static or per-stage
+moving
 obstacle centers; optional road-boundary rows via the shared per-stage
 linearization (``fused_gn.linearize_boundaries``).  Reference analog: the
 generated FORCESPRO BFGS-SQP C solver (``test/FORCESNLPsolver/lib/``) —
@@ -91,9 +92,25 @@ def _n_finite(bounds) -> int:
 def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                     moving: bool = False):
     consts = make_consts(cfg)
+    nxk = S.solver_nx(cfg)  # 5 (KS) or 7 (ST)
     dt = float(cfg.dt)
     inv_l = consts["inv_l"]
     integ = cfg.integrator
+    if cfg.model == "st":
+        from mpc_tpu.ops.fused_gn import _st_lin_step, _st_step_rows
+        _veh = cfg.vehicle
+
+        def step_f(x, u):
+            return _st_step_rows(x, u, dt, _veh, integ)
+
+        def lin_f(x, u):
+            return _st_lin_step(x, u, dt, _veh, integ)
+    else:
+        def step_f(x, u):
+            return _step_rows(x, u, dt, inv_l, integ)
+
+        def lin_f(x, u):
+            return _lin_step(x, u, dt, inv_l, integ)
     reg = float(cfg.reg)
     rho = float(cfg.ip_ls_rho)
     _fr_scale = (consts["a_max"] ** 2 if consts["formulation"] == "forcespro"
@@ -130,10 +147,10 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
             def bnd_at(k):
                 return None
         mind = mind_ref[0]
-        wq = [w_ref[i] for i in range(NX)]
-        wr = [w_ref[NX + i] for i in range(NU)]
-        wqN = [w_ref[NX + NU + i] for i in range(NX)]
-        x0 = [x0_ref[i] for i in range(NX)]
+        wq = [w_ref[i] for i in range(nxk)]
+        wr = [w_ref[nxk + i] for i in range(NU)]
+        wqN = [w_ref[nxk + NU + i] for i in range(nxk)]
+        x0 = [x0_ref[i] for i in range(nxk)]
 
         bounds_k = _row_bounds(consts, mind, is_term=False)
         bounds_T = _row_bounds(consts, mind, is_term=True)
@@ -148,7 +165,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
 
         def stage_ctx(k, is_term):
             """Rows + linearization context at the OUTER iterate (X, U)."""
-            x = _read_vec(X_ref, k, NX)
+            x = _read_vec(X_ref, k, nxk)
             u = zero_u if is_term else _read_vec(u_out, k, NU)
             r = _compute_rows(x, u, obs_at(k), consts, is_term,
                               k_is0=(k == 0), bnd=bnd_at(k))
@@ -164,15 +181,17 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
             for i, (lo, hi) in enumerate(bounds):
                 w_i = zero
                 sig_i = zero
+                # w = mu/s + sig*rs per side: the current z cancels against
+                # the dz elimination's -z (see ipqp.ip_iteration)
                 if hi is not None:
                     rs_hi = shi[i] - (hi - cs[i])
                     sg = zhi[i] / shi[i]
-                    w_i = w_i + zhi[i] + mu_b / shi[i] + sg * rs_hi
+                    w_i = w_i + mu_b / shi[i] + sg * rs_hi
                     sig_i = sig_i + sg
                 if lo is not None:
                     rs_lo = slo[i] - (cs[i] - lo)
                     sg = zlo[i] / slo[i]
-                    w_i = w_i - zlo[i] - mu_b / slo[i] - sg * rs_lo
+                    w_i = w_i - mu_b / slo[i] - sg * rs_lo
                     sig_i = sig_i + sg
                 algr.append((w_i, sig_i))
             return algr, cs
@@ -181,10 +200,10 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
         def roll_body(k, x):
             X_ref[k] = jnp.stack(x)
             u = _read_vec(u_out, k, NU)
-            return jnp.stack(_step_rows(x, u, dt, inv_l, integ))
+            return jnp.stack(step_f(x, u))
 
         xH = jax.lax.fori_loop(0, H, lambda k, xs: roll_body(
-            k, [xs[i] for i in range(NX)]), jnp.stack(x0))
+            k, [xs[i] for i in range(nxk)]), jnp.stack(x0))
         X_ref[H] = xH
 
         def penalty_merit_rollout(alpha, write: bool):
@@ -196,7 +215,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
             """
             def body(k, carry):
                 x, acc = carry
-                xl = [x[i] for i in range(NX)]
+                xl = [x[i] for i in range(nxk)]
                 ub = _read_vec(u_out, k, NU)
                 dk = _read_vec(dU_scr, k, NU)
                 u = clip_u([ub[i] + alpha * dk[i] for i in range(NU)])
@@ -211,15 +230,15 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                     if lo is not None:
                         vi = jnp.maximum(vi, lo - hs[i])
                     v = v + jnp.maximum(vi, 0.0) * inv_scale[i]
-                xref_k = _read_vec(xref_ref, k, NX)
+                xref_k = _read_vec(xref_ref, k, nxk)
                 acc = acc + _stage_cost_rows(xl, u, xref_k, wq, wr) + rho * v
                 if write:
                     X_ref[k] = jnp.stack(xl)
                     u_out[k] = jnp.stack(u)
-                return (jnp.stack(_step_rows(xl, u, dt, inv_l, integ)), acc)
+                return (jnp.stack(step_f(xl, u)), acc)
 
             xH2, acc = jax.lax.fori_loop(0, H, body, (jnp.stack(x0), zero))
-            xT = [xH2[i] for i in range(NX)]
+            xT = [xH2[i] for i in range(nxk)]
             rT = _compute_rows(xT, zero_u, obs_at(H), consts, True,
                                k_is0=False, bnd=bnd_at(H))
             hsT = _row_values(rT)
@@ -231,7 +250,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                 if lo is not None:
                     vi = jnp.maximum(vi, lo - hsT[i])
                 vT = vT + jnp.maximum(vi, 0.0) * inv_scale[i]
-            xrefT = _read_vec(xref_ref, H, NX)
+            xrefT = _read_vec(xref_ref, H, nxk)
             if cfg.use_terminal_cost:
                 acc = acc + _term_cost_rows(xT, xrefT, wqN)
             acc = acc + rho * vT
@@ -278,7 +297,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                 shi_scr[k] = jnp.stack(shi_n)
                 zlo_out[k] = jnp.stack(zlo_n)
                 zhi_out[k] = jnp.stack(zhi_n)
-                dX_scr[k] = jnp.stack([zero] * NX)
+                dX_scr[k] = jnp.stack([zero] * nxk)
                 if not is_term:
                     dU_scr[k] = jnp.stack([zero] * NU)
                 return 0
@@ -295,15 +314,15 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
             def newton_body(_it, mu_b):
                 # terminal quadratic with IP weights
                 xT, _, rT = stage_ctx(H, True)
-                dXT = _read_vec(dX_scr, H, NX)
+                dXT = _read_vec(dX_scr, H, nxk)
                 algT, _ = ip_weights(
                     rT, bounds_T, dXT, zero_u,
                     _read_vec(slo_scr, H, nr), _read_vec(shi_scr, H, nr),
                     _read_vec(zlo_out, H, nr), _read_vec(zhi_out, H, nr),
                     mu_b)
-                x_cT = [xT[i] + dXT[i] for i in range(NX)]
+                x_cT = [xT[i] + dXT[i] for i in range(nxk)]
                 QH, qH = _assemble_quad(rT, algT, x_cT, zero_u,
-                                        _read_vec(xref_ref, H, NX),
+                                        _read_vec(xref_ref, H, nxk),
                                         wq, wr, True, wqN,
                                         cfg.use_terminal_cost)
 
@@ -312,42 +331,42 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                 def bwd_body(j, carry):
                     P, p = carry
                     k = H - 1 - j
-                    Pl = [[P[i, j2] for j2 in range(NX)] for i in range(NX)]
-                    pl_ = [p[i] for i in range(NX)]
+                    Pl = [[P[i, j2] for j2 in range(nxk)] for i in range(nxk)]
+                    pl_ = [p[i] for i in range(nxk)]
                     x, u, r = stage_ctx(k, False)
-                    dXk = _read_vec(dX_scr, k, NX)
+                    dXk = _read_vec(dX_scr, k, nxk)
                     dUk = _read_vec(dU_scr, k, NU)
                     algr, _ = ip_weights(
                         r, bounds_k, dXk, dUk,
                         _read_vec(slo_scr, k, nr), _read_vec(shi_scr, k, nr),
                         _read_vec(zlo_out, k, nr), _read_vec(zhi_out, k, nr),
                         mu_b)
-                    x_c = [x[i] + dXk[i] for i in range(NX)]
+                    x_c = [x[i] + dXk[i] for i in range(nxk)]
                     u_c = [u[i] + dUk[i] for i in range(NU)]
                     Q, R, M, qx, qu = _assemble_quad(
-                        r, algr, x_c, u_c, _read_vec(xref_ref, k, NX),
+                        r, algr, x_c, u_c, _read_vec(xref_ref, k, nxk),
                         wq, wr, False)
-                    A, Bm = _lin_step(x, u, dt, inv_l, integ)
+                    A, Bm = lin_f(x, u)
 
-                    At = [[A[i][j2] for i in range(NX)] for j2 in range(NX)]
-                    Bt = [[Bm[i][j2] for i in range(NX)] for j2 in range(NU)]
-                    PA = [[sum(Pl[i][t] * A[t][j2] for t in range(NX))
-                           for j2 in range(NX)] for i in range(NX)]
-                    PB = [[sum(Pl[i][t] * Bm[t][j2] for t in range(NX))
-                           for j2 in range(NU)] for i in range(NX)]
+                    At = [[A[i][j2] for i in range(nxk)] for j2 in range(nxk)]
+                    Bt = [[Bm[i][j2] for i in range(nxk)] for j2 in range(NU)]
+                    PA = [[sum(Pl[i][t] * A[t][j2] for t in range(nxk))
+                           for j2 in range(nxk)] for i in range(nxk)]
+                    PB = [[sum(Pl[i][t] * Bm[t][j2] for t in range(nxk))
+                           for j2 in range(NU)] for i in range(nxk)]
                     Qxx = [[Q[i][j2] + sum(At[i][t] * PA[t][j2]
-                                           for t in range(NX))
-                            for j2 in range(NX)] for i in range(NX)]
+                                           for t in range(nxk))
+                            for j2 in range(nxk)] for i in range(nxk)]
                     Quu = [[R[i][j2] + sum(Bt[i][t] * PB[t][j2]
-                                           for t in range(NX))
+                                           for t in range(nxk))
                             for j2 in range(NU)] for i in range(NU)]
-                    Mt = [[M[i][j2] for i in range(NX)] for j2 in range(NU)]
+                    Mt = [[M[i][j2] for i in range(nxk)] for j2 in range(NU)]
                     Qux = [[Mt[i][j2] + sum(Bt[i][t] * PA[t][j2]
-                                            for t in range(NX))
-                            for j2 in range(NX)] for i in range(NU)]
-                    gx = [qx[i] + sum(At[i][t] * pl_[t] for t in range(NX))
-                          for i in range(NX)]
-                    gu = [qu[i] + sum(Bt[i][t] * pl_[t] for t in range(NX))
+                                            for t in range(nxk))
+                            for j2 in range(nxk)] for i in range(NU)]
+                    gx = [qx[i] + sum(At[i][t] * pl_[t] for t in range(nxk))
+                          for i in range(nxk)]
+                    gu = [qu[i] + sum(Bt[i][t] * pl_[t] for t in range(nxk))
                           for i in range(NU)]
 
                     a = Quu[0][0] + reg
@@ -358,59 +377,59 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                     Qi = [[dd2 * inv_det, -b * inv_det],
                           [-c * inv_det, a * inv_det]]
                     Kk = [[-(Qi[i][0] * Qux[0][j2] + Qi[i][1] * Qux[1][j2])
-                           for j2 in range(NX)] for i in range(NU)]
+                           for j2 in range(nxk)] for i in range(NU)]
                     dk = [-(Qi[i][0] * gu[0] + Qi[i][1] * gu[1])
                           for i in range(NU)]
                     K_scr[k] = jnp.stack(
-                        [Kk[i][j2] for i in range(NU) for j2 in range(NX)])
+                        [Kk[i][j2] for i in range(NU) for j2 in range(nxk)])
                     dff_scr[k] = jnp.stack(dk)
 
                     QuxT = [[Qux[i][j2] for i in range(NU)]
-                            for j2 in range(NX)]
+                            for j2 in range(nxk)]
                     P_new = [[Qxx[i][j2]
                               + QuxT[i][0] * Kk[0][j2]
                               + QuxT[i][1] * Kk[1][j2]
-                              for j2 in range(NX)] for i in range(NX)]
+                              for j2 in range(nxk)] for i in range(nxk)]
                     P_sym = jnp.stack([
                         jnp.stack([0.5 * (P_new[i][j2] + P_new[j2][i])
-                                   for j2 in range(NX)])
-                        for i in range(NX)])
+                                   for j2 in range(nxk)])
+                        for i in range(nxk)])
                     p_new = jnp.stack([gx[i] + QuxT[i][0] * dk[0]
                                        + QuxT[i][1] * dk[1]
-                                       for i in range(NX)])
+                                       for i in range(nxk)])
                     return (P_sym, p_new)
 
-                P0 = jnp.stack([jnp.stack(QH[i]) for i in range(NX)])
+                P0 = jnp.stack([jnp.stack(QH[i]) for i in range(nxk)])
                 p0 = jnp.stack(qH)
                 jax.lax.fori_loop(0, H, bwd_body, (P0, p0))
 
                 # linear forward pass: ddx_0 = 0 (x0 pinned)
                 def fwd_body(k, ddx):
-                    ddxl = [ddx[i] for i in range(NX)]
+                    ddxl = [ddx[i] for i in range(nxk)]
                     ddX_scr[k] = ddx
-                    Kk = _read_vec(K_scr, k, NU * NX)
+                    Kk = _read_vec(K_scr, k, NU * nxk)
                     dk = _read_vec(dff_scr, k, NU)
-                    ddu = [dk[i] + sum(Kk[i * NX + j2] * ddxl[j2]
-                                       for j2 in range(NX))
+                    ddu = [dk[i] + sum(Kk[i * nxk + j2] * ddxl[j2]
+                                       for j2 in range(nxk))
                            for i in range(NU)]
                     ddU_scr[k] = jnp.stack(ddu)
                     x, u, _ = stage_ctx(k, False)
-                    A, Bm = _lin_step(x, u, dt, inv_l, integ)
-                    nxt = [sum(A[i][j2] * ddxl[j2] for j2 in range(NX))
+                    A, Bm = lin_f(x, u)
+                    nxt = [sum(A[i][j2] * ddxl[j2] for j2 in range(nxk))
                            + sum(Bm[i][j2] * ddu[j2] for j2 in range(NU))
-                           for i in range(NX)]
+                           for i in range(nxk)]
                     return jnp.stack(nxt)
 
                 ddxH = jax.lax.fori_loop(0, H, fwd_body,
-                                         jnp.stack([zero] * NX))
+                                         jnp.stack([zero] * nxk))
                 ddX_scr[H] = ddxH
 
                 # slack/dual steps + fraction-to-boundary ratios
                 def steps_stage(k, bounds, is_term, amin):
                     _, _, r = stage_ctx(k, is_term)
-                    dXk = _read_vec(dX_scr, k, NX)
+                    dXk = _read_vec(dX_scr, k, nxk)
                     dUk = zero_u if is_term else _read_vec(dU_scr, k, NU)
-                    ddXk = _read_vec(ddX_scr, k, NX)
+                    ddXk = _read_vec(ddX_scr, k, nxk)
                     ddUk = zero_u if is_term else _read_vec(ddU_scr, k, NU)
                     cs = _row_lin(r, bounds, dXk, dUk)
                     Jd = _row_lin(r, bounds, ddXk, ddUk)
@@ -538,7 +557,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
         # viol rows + max, cost, Lagrangian stationarity with the final QP
         # duals lam = z_hi - z_lo (sqp._solve_ip:642-661 semantics)
         xT, _, rT = stage_ctx(H, True)
-        xrefT = _read_vec(xref_ref, H, NX)
+        xrefT = _read_vec(xref_ref, H, nxk)
         lamT_rows = [zhi_out[H][i] - zlo_out[H][i] for i in range(nr)]
         algT = [(lamT_rows[i], zero) for i in range(nr)]
         _, qHd = _assemble_quad(rT, algT, xT, zero_u, xrefT, wq, wr, True,
@@ -562,19 +581,19 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
         def diag_body(j, carry):
             lam, stat, viol, cost = carry
             k = H - 1 - j
-            laml = [lam[i] for i in range(NX)]
+            laml = [lam[i] for i in range(nxk)]
             x, u, r = stage_ctx(k, False)
-            xref_k = _read_vec(xref_ref, k, NX)
+            xref_k = _read_vec(xref_ref, k, nxk)
             lam_rows = [zhi_out[k][i] - zlo_out[k][i] for i in range(nr)]
             algr = [(lam_rows[i], zero) for i in range(nr)]
             _, _, _, qx, qu = _assemble_quad(r, algr, x, u, xref_k, wq, wr,
                                              False)
-            A, Bm = _lin_step(x, u, dt, inv_l, integ)
-            g_u = [qu[i] + sum(Bm[t][i] * laml[t] for t in range(NX))
+            A, Bm = lin_f(x, u)
+            g_u = [qu[i] + sum(Bm[t][i] * laml[t] for t in range(nxk))
                    for i in range(NU)]
             lam_new = jnp.stack(
-                [qx[i] + sum(A[t][i] * laml[t] for t in range(NX))
-                 for i in range(NX)])
+                [qx[i] + sum(A[t][i] * laml[t] for t in range(nxk))
+                 for i in range(nxk)])
             stat = jnp.maximum(stat, jnp.maximum(jnp.abs(g_u[0]),
                                                  jnp.abs(g_u[1])))
             hs = _row_values(r)
@@ -603,10 +622,10 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
 
 
 def eligible_ip(cfg: S.SolverConfig, params: S.OcpParams) -> bool:
-    return (cfg.method == "ip" and cfg.model == "ks"
+    return (cfg.method == "ip" and cfg.model in ("ks", "st")
             and (not cfg.boundary_rows or params.boundaries is not None)
             and params.obs_centers.ndim in (3, 4)  # static or moving
-            and params.x_ref.shape[-1] == NX)
+            and params.x_ref.shape[-1] in (NX, S.solver_nx(cfg)))
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
@@ -617,6 +636,7 @@ def _solve_ip_packed(cfg, x0p, xrefp, obsp, mindp, wp, bndp, Up, zlp, zhp,
     H = cfg.horizon
     moving = obsp.ndim == 5  # (tiles, H+1, 6, 8, 128)
     nr = zlp.shape[2]        # NROWS (+6 with boundary rows)
+    nx = x0p.shape[1]        # 5 (KS) or 7 (ST)
     kernel = _make_ip_kernel(cfg, H, moving)
 
     def tile_spec(*mid):
@@ -633,7 +653,7 @@ def _solve_ip_packed(cfg, x0p, xrefp, obsp, mindp, wp, bndp, Up, zlp, zhp,
 
     dtype = x0p.dtype
     out_shape = (
-        jax.ShapeDtypeStruct((tiles, H + 1, NX, _SUB, _LANES), dtype),  # X
+        jax.ShapeDtypeStruct((tiles, H + 1, nx, _SUB, _LANES), dtype),  # X
         jax.ShapeDtypeStruct(Up.shape, dtype),
         jax.ShapeDtypeStruct(zlp.shape, dtype),
         jax.ShapeDtypeStruct(zhp.shape, dtype),
@@ -648,24 +668,24 @@ def _solve_ip_packed(cfg, x0p, xrefp, obsp, mindp, wp, bndp, Up, zlp, zhp,
         squeezed,
         grid=(tiles,),
         in_specs=[
-            tile_spec(NX), tile_spec(H + 1, NX),
+            tile_spec(nx), tile_spec(H + 1, nx),
             tile_spec(H + 1, 6) if moving else tile_spec(6), tile_spec(1),
-            tile_spec(NX + NU + NX),
+            tile_spec(nx + NU + nx),
             # boundary-row linear models, or a 1-wide dummy when disabled
             tile_spec(H + 1, 18) if cfg.boundary_rows else tile_spec(1),
             tile_spec(H, NU), tile_spec(H + 1, nr), tile_spec(H + 1, nr),
         ],
         out_specs=(
-            tile_spec(H + 1, NX), tile_spec(H, NU), tile_spec(H + 1, nr),
+            tile_spec(H + 1, nx), tile_spec(H, NU), tile_spec(H + 1, nr),
             tile_spec(H + 1, nr), tile_spec(H + 1, nr), tile_spec(4),
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((H, NU * NX, _SUB, _LANES), dtype),   # K
+            pltpu.VMEM((H, NU * nx, _SUB, _LANES), dtype),   # K
             pltpu.VMEM((H, NU, _SUB, _LANES), dtype),        # d (Riccati)
-            pltpu.VMEM((H + 1, NX, _SUB, _LANES), dtype),    # dX
+            pltpu.VMEM((H + 1, nx, _SUB, _LANES), dtype),    # dX
             pltpu.VMEM((H, NU, _SUB, _LANES), dtype),        # dU
-            pltpu.VMEM((H + 1, NX, _SUB, _LANES), dtype),    # ddX
+            pltpu.VMEM((H + 1, nx, _SUB, _LANES), dtype),    # ddX
             pltpu.VMEM((H, NU, _SUB, _LANES), dtype),        # ddU
             nr_scr(), nr_scr(),                              # s_lo, s_hi
             nr_scr(), nr_scr(), nr_scr(), nr_scr(),          # ds/dz lo/hi
@@ -690,6 +710,9 @@ def solve_batch_fused_ip(cfg: S.SolverConfig, params: S.OcpParams,
         return S.solve_batch(cfg, params, state)
     interpret = interpret or jax.default_backend() != "tpu"
 
+    # widen KS-schema params to the configured model's nx (ST)
+    params = S.normalize_params(cfg, params)
+    nx = S.solver_nx(cfg)
     B = params.x0.shape[0]
     padB = _cdiv(B, LANE_TILE) * LANE_TILE
     dtype = params.x0.dtype
@@ -701,7 +724,7 @@ def solve_batch_fused_ip(cfg: S.SolverConfig, params: S.OcpParams,
                                 (padB - B,) + x.shape[1:])
         return jnp.concatenate([x, fill], axis=0)
 
-    benign_x = np.zeros((NX,), np.float32)
+    benign_x = np.zeros((nx,), np.float32)
     benign_x[3] = 1.0
     x0p = _pack(pad_rows(params.x0, benign_x), padB)
     xrefp = _pack(pad_rows(params.x_ref, benign_x), padB)

@@ -141,12 +141,16 @@ def ip_iteration(qp: QpData, st: IpState, reg: float,
     sigma_rows = sig_lo + sig_hi                       # (H+1, NROWS)
 
     mu = st.mu
-    q_rows = (jnp.where(m_hi, mu / st.s_hi, 0.0)
+    # Newton RHS row force after eliminating (ds, dz): the current duals
+    # z cancel exactly against the -z term of the dz elimination
+    # (z + dz = mu/s + sig*(J ddz) + sig*rs), leaving mu/s + sig*rs per
+    # side.  Round 2 added z back in (w = z + q_rows), which converges to
+    # the right primal but as a doubled-barrier scheme with half-scale
+    # duals — ~10x slower at fixed Newton budgets (oracle sweep, round 3:
+    # max dU err at 6 iterations 0.0067 vs 0.0003).
+    w_rows = (jnp.where(m_hi, mu / st.s_hi, 0.0)
               - jnp.where(m_lo, mu / st.s_lo, 0.0)
               + sig_hi * rs_hi - sig_lo * rs_lo)
-    # total row-dual contribution at current point: z_hi - z_lo enters the
-    # stationarity residual; the Newton elimination folds it plus q_rows
-    w_rows = (st.z_hi - st.z_lo) + q_rows
 
     # stage quadratic: cost + row terms
     JtSJ = jnp.einsum("krz,kr,krw->kzw", qp.J, sigma_rows, qp.J)

@@ -481,7 +481,7 @@ def select_engine(scfg: sqp.SolverConfig, have_boundaries: bool):
     """
     from mpc_tpu.ops import fused_gn, fused_ip, sqp_vec as sqp_vec_mod
 
-    fused_ok = (scfg.engine != "xla" and scfg.model == "ks"
+    fused_ok = (scfg.engine != "xla" and scfg.model in ("ks", "st")
                 and (not scfg.boundary_rows or have_boundaries)
                 # the kernels are TPU-compiled; CPU runs (tests) take the
                 # XLA path unless the caller forces interpret explicitly

@@ -275,15 +275,22 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                         return jnp.clip(jnp.where(z0 > 0, z0, zc),
                                         zc / _WARM_KAPPA, zc * _WARM_KAPPA)
 
+                    # infeasible-start relaxation (mirrors ipqp.init_ip):
+                    # VIOLATED rows (margin <= 0) start at slack 1 / dual
+                    # _MU0; feasible-but-tight rows keep the s_min clamp
                     if lo is not None:
-                        sl = jnp.maximum(cs[i] - lo, _S_MIN)
+                        ml = cs[i] - lo
+                        sl = jnp.where(ml <= 0, 1.0,
+                                       jnp.maximum(ml, _S_MIN))
                         zl = (warm_z(zlo_out[k][i], _MU0 / sl)
                               if warm else _MU0 / sl)
                     else:
                         sl = jnp.ones_like(zero)
                         zl = zero
                     if hi is not None:
-                        sh = jnp.maximum(hi - cs[i], _S_MIN)
+                        mh = hi - cs[i]
+                        sh = jnp.where(mh <= 0, 1.0,
+                                       jnp.maximum(mh, _S_MIN))
                         zh = (warm_z(zhi_out[k][i], _MU0 / sh)
                               if warm else _MU0 / sh)
                     else:

@@ -94,14 +94,29 @@ def init_ip(qp: QpData, mu0: float = 1.0, s_min: float = 1e-2,
     raw carried duals cause on rows violated at the new linearization
     (dz ~ -(z/s) ds grows z by |ds|/s per Newton step when s = s_min).
     Zero carried duals (cold state) reduce to the cold init exactly.
+
+    Infeasible-start relaxation: rows VIOLATED at the linearization point
+    (margin <= 0) get slack 1.0 and the central dual mu0 — NOT the clamped
+    tiny slack s_min with its mu0/s_min = 100 dual.  A tiny-slack start on
+    a violated row makes the row weight sigma = z/s = 1e4, which stiffens
+    the Newton system and truncates every fraction-to-boundary step; the
+    relaxed start lets the slack-consistency residual rs = s - (c - lo)
+    drive the row back linearly.  Feasible-but-tight rows (0 < margin <
+    s_min, e.g. warm starts riding an active bound) keep the clamped tiny
+    slack — their sigma is the legitimate central path.  (Without the
+    relaxation, a cold start that crosses a road boundary needs ~4x the
+    Newton budget to recover — see tests/test_ipqp.py::
+    test_ip_infeasible_start_boundary.)
     """
     dX = jnp.zeros((qp.A.shape[0] + 1, qp.Q.shape[-1]), qp.A.dtype)
     dU = jnp.zeros((qp.A.shape[0], qp.R.shape[-1]), qp.A.dtype)
     c = qp.h0
     m_lo = jnp.isfinite(qp.lo)
     m_hi = jnp.isfinite(qp.hi)
-    s_lo = jnp.where(m_lo, jnp.maximum(c - qp.lo, s_min), 1.0)
-    s_hi = jnp.where(m_hi, jnp.maximum(qp.hi - c, s_min), 1.0)
+    s_lo = jnp.where(m_lo, jnp.where(c - qp.lo <= 0, 1.0,
+                                     jnp.maximum(c - qp.lo, s_min)), 1.0)
+    s_hi = jnp.where(m_hi, jnp.where(qp.hi - c <= 0, 1.0,
+                                     jnp.maximum(qp.hi - c, s_min)), 1.0)
     z_lo = mu0 / s_lo
     z_hi = mu0 / s_hi
     if z_lo0 is not None:

@@ -186,3 +186,36 @@ def test_ip_mode_status_semantics_match_al():
             int(sol_weak.status) == 1
     # and the residual is larger than the converged one
     assert float(sol_weak.kkt_stat) > stat
+
+
+def test_ip_infeasible_start_boundary():
+    """Infeasible-start relaxation (ipqp.init_ip): a cold start whose
+    rollout crosses a road boundary must still converge at the default
+    5x10 budget.
+
+    Before the relaxation, violated rows started at slack s_min=1e-2 with
+    dual mu0/s_min = 100, making the row weight sigma = z/s = 1e4 — the
+    stiffened Newton system truncated every fraction-to-boundary step and
+    the default budget ended infeasible (status -7, ~0.4 m boundary
+    violation) on exactly this instance.
+    """
+    from mpc_tpu.ops import sqp
+    from tests.test_fused_gn import _straight_corridor
+    from tests.test_sqp import straight_params
+
+    H = 12
+    p = straight_params(H, v=15.0)
+    # heading 0.35 rad at 15 m/s: the zero-input cold rollout drifts ~6 m
+    # up and crosses the upper boundary line (6.5 - r_ego = 5.3) near the
+    # end of the horizon; recovery is dynamically feasible
+    p = p._replace(x0=p.x0.at[4].set(0.35))
+    bnds, signs = _straight_corridor(y_left=6.5, y_right=-6.5)
+    p = p._replace(boundaries=bnds, boundary_signs=signs)
+    cfg = sqp.SolverConfig(horizon=H, method="ip", boundary_rows=True)
+    sol = sqp.solve(cfg, p, sqp.init_state(cfg))
+    assert int(sol.status) >= 0, f"status {int(sol.status)}"
+    assert float(sol.viol) < cfg.tol_infeas
+    # and the plain (boundary-free) solve still converges as before
+    cfg0 = sqp.SolverConfig(horizon=H, method="ip")
+    sol0 = sqp.solve(cfg0, straight_params(H, v=15.0), sqp.init_state(cfg0))
+    assert int(sol0.status) == 1

@@ -26,46 +26,67 @@ import jax
 PER_CHIP_TARGET = 5000.0 / 8.0  # north-star per-chip share on a v5e-8
 
 
-def run_bench(batch: int = 1024, horizon: int = 30, n_steps: int = 20,
-              repeats: int = 6):
+def run_bench(batch: int = 1024, horizon: int = 30, n_steps: int = 100,
+              repeats: int = 8):
     from mpc_tpu.planner import closed_loop as cl
     from mpc_tpu.utils import synthetic
 
-    # RTI operating point (al_iters=2, sqp_iters=3 = 6 Gauss-Newton steps
-    # per warm-started solve) with full-strength cold-start warmup: on this
-    # workload it is 100% feasible with tracking identical to the
-    # (3, 4) production default, at ~2x the throughput (PARITY.md
-    # ablations).  Still conservative next to the reference FORCESPRO
-    # deployment's 1 QP per step (``maxqps=1``, optimizer.py:237).
+    # True-RTI operating point (al_iters=1, sqp_iters=1 = ONE warm-started
+    # Gauss-Newton iteration per closed-loop solve) with full-strength
+    # cold-start warmup — the direct counterpart of the reference FORCESPRO
+    # deployment's 1 QP per step (``maxqps=1``, optimizer.py:237).  On this
+    # workload it is 100% feasible over 1.2M solves with realized tracking
+    # IDENTICAL to the (2, 3) budget (round-4 sweep: dev mean 1.371 vs
+    # 1.372 m, p99 1.817 vs 1.818 m — the deviation is track geometry, not
+    # solver error).  n_steps=100 amortizes the axon relay's ~150-300 ms
+    # per-dispatch round trip (one dispatch runs the whole scan chain);
+    # the per-step device time is what the solves/s figure measures.
     lcfg, params = synthetic.make_bench_loop(
         n_steps=n_steps, horizon=horizon, n_lanes=batch, method="al",
-        al_iters=2, sqp_iters=3)
+        al_iters=1, sqp_iters=1)
 
-    import numpy as np
+    import functools
 
-    res = cl.closed_loop_batch_vec(lcfg, params)  # compile
-    np.asarray(res.X)  # force full materialization (block_until_ready does
+    import jax.numpy as jnp
+    import numpy as np  # noqa: F401
+
+    # On-device reduction: the full (B, T, ...) trajectories stay in HBM
+    # and only three scalars cross the axon relay per rep — fetching
+    # res.X itself (~25 MB at B=12288/T=100) would bill relay bandwidth
+    # to the solver.  The checksum term forces every output of the loop
+    # program to be computed (nothing DCEs); fetching a scalar output
+    # still requires the whole compiled program to have run.
+    @functools.partial(jax.jit, static_argnums=0)
+    def bench_prog(lc, p):
+        res = cl.closed_loop_batch_vec(lc, p)
+        ok = jnp.sum(res.status >= 0)
+        checksum = (jnp.sum(res.X) + jnp.sum(res.U) + jnp.sum(res.viol)
+                    + jnp.sum(res.cost))
+        return ok, checksum
+
+    ok, cs = bench_prog(lcfg, params)  # compile
+    float(cs)  # force full materialization (block_until_ready does
     # not reliably block on the axon relay platform)
 
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        res = cl.closed_loop_batch_vec(lcfg, params)
-        np.asarray(res.X)
+        ok, cs = bench_prog(lcfg, params)
+        float(cs)
         best = min(best, time.perf_counter() - t0)
 
     solves = batch * n_steps
-    ok = int(np.sum(np.asarray(res.status) >= 0))
-    return solves / best, best / n_steps, ok, solves
+    return solves / best, best / n_steps, int(ok), solves
 
 
 def main():
     n_dev = len(jax.devices())
     platform = jax.devices()[0].platform
-    # round-3 fused-engine batch sweep on v5e (closed-loop solves/s/chip):
-    # 2048 -> 428k, 4096 -> 301-364k, 8192 -> 538-569k, 16384 -> 530k;
-    # 8192 (8 lane tiles) is the ceiling
-    batch = 8192 if platform != "cpu" else 128
+    # round-4 fused-engine batch sweep on v5e at the (1,1) true-RTI point
+    # (closed-loop solves/s/chip, T=100 chains): 8192 -> 778k,
+    # 12288 -> 1.14-1.16M, 16384 -> 728k, 24576 -> 560k; 12288 (12 lane
+    # tiles) is the ceiling
+    batch = 12288 if platform != "cpu" else 128
     solves_per_s, step_latency, ok, total = run_bench(batch=batch)
     per_chip = solves_per_s / n_dev
     result = {

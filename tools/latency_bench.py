@@ -127,16 +127,21 @@ def main():
     ]
     # true RTI — 1 warm-started QP per step (reference maxqps=1 with
     # nlp.TolIneq = -1, optimizer.py:237-240) on all three reference
-    # scenarios.  Feasible under the honest nonlinear gate on both LF
-    # scenarios; ZAM CA keeps decaying horizon-tail transients that the
-    # reference never measures (its own recorded CA run exceeds the
-    # friction bound by 27% — see PARITY.md "true-RTI parity").
-    for name, label in [("config_LF_ZAM_Over-1_1.yaml", "rti1_zamlf_h9"),
-                        ("config_CA_ZAM_Over-1_1.yaml", "rti1_zamca_h9"),
-                        ("config_LF_USA_Lanker-2_18_T-1.yaml",
-                         "rti1_usalf_h9")]:
-        r = measure_point(_load(name), label, horizon=10,
-                          ip_sqp_iters=1, ip_iters=10, ip_warm_duals=True)
+    # scenarios, at the deployment presets (closed_loop.RTI1_SETTINGS /
+    # RTI1_CA_SETTINGS): LF runs the reference horizon N=10 and is fully
+    # feasible under the honest full-plan gate; CA extends the horizon to
+    # N=14 with applied-prefix gating (tests/test_closed_loop.py::
+    # test_true_rti_one_qp_all_scenarios; the reference's own recorded CA
+    # run exceeds its friction bound by 27% — PARITY.md "true-RTI parity").
+    for name, label, horizon, settings in [
+            ("config_LF_ZAM_Over-1_1.yaml", "rti1_zamlf_h9", 10,
+             cl.RTI1_SETTINGS),
+            ("config_CA_ZAM_Over-1_1.yaml", "rti1_zamca_h13", 14,
+             {k: v for k, v in cl.RTI1_CA_SETTINGS.items()
+              if k != "horizon"}),
+            ("config_LF_USA_Lanker-2_18_T-1.yaml", "rti1_usalf_h9", 10,
+             cl.RTI1_SETTINGS)]:
+        r = measure_point(_load(name), label, horizon=horizon, **settings)
         r["qp_per_step"] = 1
         results.append(r)
     with open(os.path.join(REPO, "LATENCY.json"), "w") as f:

@@ -48,7 +48,6 @@ def run_bench(batch: int = 1024, horizon: int = 30, n_steps: int = 100,
     import functools
 
     import jax.numpy as jnp
-    import numpy as np  # noqa: F401
 
     # On-device reduction: the full (B, T, ...) trajectories stay in HBM
     # and only three scalars cross the axon relay per rep — fetching

@@ -33,6 +33,12 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0, help="noise PRNG seed")
     ap.add_argument("--deterministic", action="store_true",
                     help="disable actuation noise regardless of the config")
+    ap.add_argument("--rti1", action="store_true",
+                    help="1-warm-QP-per-step deployment preset (the "
+                         "reference's maxqps=1): RTI1_SETTINGS for lane "
+                         "following, RTI1_CA_SETTINGS (N=14 horizon, "
+                         "applied-prefix status gate) for collision "
+                         "avoidance")
     ap.add_argument("--gif", action="store_true",
                     help="render per-step PNGs + animated GIF (slow)")
     ap.add_argument("--profile-dir", default=None,
@@ -53,9 +59,28 @@ def main(argv=None) -> int:
     except (KeyError, ValueError) as e:
         print(f"error: invalid configuration: {e}", file=sys.stderr)
         return 1
-    planner = MPCPlanner(config, horizon=args.horizon,
+    overrides = {}
+    if args.rti1:
+        if config.framework != "forcespro":
+            # the presets are tuned for the hard-constrained forcespro
+            # formulation (RK4, terminal cost, 9-pair rows); under the
+            # casadi formulation they leave infeasible steps
+            print("error: --rti1 requires a forcespro-framework config "
+                  f"(this one is '{config.framework}'); set "
+                  "framework_name: forcespro in the YAML",
+                  file=sys.stderr)
+            return 1
+        from mpc_tpu.planner import closed_loop as _cl
+        overrides = dict(_cl.RTI1_CA_SETTINGS
+                         if config.use_case == "collision_avoidance"
+                         else _cl.RTI1_SETTINGS)
+    # an explicit --horizon wins over a preset horizon
+    horizon = args.horizon if args.horizon is not None \
+        else overrides.pop("horizon", None)
+    overrides.pop("horizon", None)
+    planner = MPCPlanner(config, horizon=horizon,
                          noised=False if args.deterministic else None,
-                         seed=args.seed)
+                         seed=args.seed, **overrides)
     if args.profile_dir:
         with jax.profiler.trace(args.profile_dir):
             result = planner.plan()

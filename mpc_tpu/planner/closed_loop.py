@@ -173,7 +173,7 @@ def make_loop_config(cfg: PlanningConfig,
             # CA noise sweeps keep clearing the obstacle (tests/
             # test_robustness.py).  Raise via YAML `solver_settings:` for
             # oracle-grade solves (config_CA_ZAM_Over-1_1_forcespro_ref
-            # pins 8x12 for bit-close reference parity).
+            # pins 10x14 for bit-close reference parity).
             solver_overrides.setdefault("ip_sqp_iters", 2)
             solver_overrides.setdefault("ip_iters", 6)
             solver_overrides.setdefault("ip_warm_duals", True)
@@ -386,7 +386,7 @@ def _warmup_cfg(lcfg: LoopConfig) -> sqp.SolverConfig:
     multiplier-/dual-converged (infeasibility otherwise concentrates in
     steps 0-3 — PARITY.md ablations; for ip-mode 1-QP runs on deep
     horizons the cold transient was the only remaining infeasibility)."""
-    scfg = lcfg.solver
+    scfg = _tightened_solver_cfg(lcfg)
     if not lcfg.warmup_full_strength:
         return scfg
     if scfg.method == "al":
@@ -419,23 +419,60 @@ def _tightened_solver_cfg(lcfg: LoopConfig) -> sqp.SolverConfig:
         lcfg.solver, a_max=lcfg.solver.a_max * lcfg.rti_amax_scale)
 
 
+def _tighten_ocp(lcfg: LoopConfig, ocp: sqp.OcpParams) -> sqp.OcpParams:
+    """OCP the SOLVER sees (``rti_margin`` clearance backoff applied)."""
+    if lcfg.rti_margin == 0.0:
+        return ocp
+    return ocp._replace(min_dist=ocp.min_dist + lcfg.rti_margin)
+
+
 def _gated_status(scfg: sqp.SolverConfig, ocp: sqp.OcpParams,
                   sol, g: int):
-    """Applied-prefix status (``LoopConfig.gate_stages``), single lane.
+    """Status re-gated against the TRUE problem over stages 0..g, one lane.
 
-    Re-evaluates the scaled constraint rows of stages 0..g on the solved
-    plan; a -7 whose windowed violation is under ``tol_infeas`` upgrades to
-    0.  ``Solution.viol`` (full plan) is untouched — only the status gate
-    narrows to the prefix the plant will realize before the next replan.
+    Re-evaluates the scaled constraint rows of the plan's first g+1 stages
+    against ``scfg``/``ocp`` (the UN-tightened problem) and re-derives the
+    feasible/infeasible half of the status: -7 becomes 0 when the windowed
+    true violation is under ``tol_infeas``, and a tightened-problem 0/1
+    becomes -7 if the window genuinely violates the true bounds (possible
+    only through solver pathologies, but the gate must not depend on the
+    solver's own report).  ``Solution.viol`` stays the solver-side
+    (tightened, full-plan) figure — only status narrows to the prefix the
+    plant will realize before the next replan.
     """
     ocp = sqp.normalize_params(scfg, ocp)
-    h, lo, hi = sqp._all_rows(scfg, sol.X, sol.U, ocp)
+    if g >= scfg.horizon:
+        h, lo, hi = sqp._all_rows(scfg, sol.X, sol.U, ocp)
+    else:
+        idx = jnp.arange(g + 1)
+        h, lo, hi = jax.vmap(lambda x, u, k: sqp._stage_rows(
+            scfg, x, u, sqp._stage_obs(ocp, k), k, ocp.boundaries,
+            ocp.boundary_signs))(sol.X[:g + 1], sol.U[:g + 1], idx)
     v = jnp.maximum(jnp.maximum(lo - h, h - hi), 0.0)
     v = jnp.where(jnp.isfinite(v), v, 0.0) / sqp.row_scales(scfg, v.dtype)
-    vw = jnp.max(v[: g + 1])
-    ok = vw < jnp.asarray(scfg.tol_infeas, v.dtype)
-    return jnp.where((sol.status < 0) & ok, 0, sol.status).astype(
-        sol.status.dtype)
+    ok = jnp.max(v) < jnp.asarray(scfg.tol_infeas, v.dtype)
+    return jnp.where(ok, jnp.maximum(sol.status, 0),
+                     jnp.asarray(-7, sol.status.dtype)).astype(
+                         sol.status.dtype)
+
+
+def _step_status(lcfg: LoopConfig, scfg: sqp.SolverConfig,
+                 ocp: sqp.OcpParams, sol):
+    """Per-step status under the loop's gating policy (single lane).
+
+    * plain config (no backoff, no gate): the solver's own status;
+    * ``gate_stages=g``: re-gate stages 0..g against the true problem;
+    * backoff (``rti_margin``/``rti_amax_scale``) WITHOUT a stage gate:
+      re-gate the FULL plan against the true problem — the solver solved
+      the tightened one, so its own status would report the backoff band
+      as infeasible (and miss that the true bounds hold).
+    """
+    tightened = lcfg.rti_margin != 0.0 or lcfg.rti_amax_scale != 1.0
+    if lcfg.gate_stages is not None:
+        return _gated_status(lcfg.solver, ocp, sol, lcfg.gate_stages)
+    if tightened:
+        return _gated_status(lcfg.solver, ocp, sol, lcfg.solver.horizon)
+    return sol.status
 
 
 def _shift(a):
@@ -476,7 +513,10 @@ def cold_start_state(lcfg: LoopConfig, params: LoopParams) -> sqp.SqpState:
                              weights=params.weights,
                              boundaries=params.boundaries,
                              boundary_signs=params.boundary_signs)
-        init_state = sqp.solve(wcfg, ocp0, init_state).state
+        # warm up on the SAME (tightened) problem the loop will solve, so
+        # the carried iterate/duals are feasible for it from step 0
+        init_state = sqp.solve(wcfg, _tighten_ocp(lcfg, ocp0),
+                               init_state).state
     return init_state
 
 
@@ -512,12 +552,9 @@ def run_closed_loop(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
                             weights=params.weights,
                             boundaries=params.boundaries,
                             boundary_signs=params.boundary_signs)
-        # solver sees the tightened clearance; gate measures the true bound
-        ocp_t = (ocp if lcfg.rti_margin == 0.0 else
-                 ocp._replace(min_dist=ocp.min_dist + lcfg.rti_margin))
-        sol = sqp.solve(scfg_t, ocp_t, sqp_state)
-        status = (sol.status if lcfg.gate_stages is None
-                  else _gated_status(scfg, ocp, sol, lcfg.gate_stages))
+        # solver sees the tightened problem; gates measure the true one
+        sol = sqp.solve(scfg_t, _tighten_ocp(lcfg, ocp), sqp_state)
+        status = _step_status(lcfg, scfg, ocp, sol)
 
         key, sub = jax.random.split(key)
         noise = lcfg.noise_std * jax.random.normal(sub, (2,),
@@ -579,11 +616,8 @@ def closed_loop_chunk(lcfg: LoopConfig, params: LoopParams, carry,
                             weights=params.weights,
                             boundaries=params.boundaries,
                             boundary_signs=params.boundary_signs)
-        ocp_t = (ocp if lcfg.rti_margin == 0.0 else
-                 ocp._replace(min_dist=ocp.min_dist + lcfg.rti_margin))
-        sol = sqp.solve(scfg_t, ocp_t, sqp_state)
-        status = (sol.status if lcfg.gate_stages is None
-                  else _gated_status(scfg, ocp, sol, lcfg.gate_stages))
+        sol = sqp.solve(scfg_t, _tighten_ocp(lcfg, ocp), sqp_state)
+        status = _step_status(lcfg, scfg, ocp, sol)
         key, sub = jax.random.split(key)
         noise = lcfg.noise_std * jax.random.normal(sub, (2,),
                                                    dtype=sol.U.dtype)
@@ -704,18 +738,20 @@ def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
         if i == 0 and lcfg.warmup_obstacle_free:
             obs0 = jnp.full_like(obs0, -1e4)
         state = batched_solve(
-            wcfg, make_ocp(params.x_init, x_ref0, obs0), state).state
+            wcfg, _tighten_ocp(lcfg, make_ocp(params.x_init, x_ref0, obs0)),
+            state).state
 
     def body(carry, step_idx):
         x, sqp_state, key, prev_bases = carry
         x_ref, bases = batched_window(step_idx, x, prev_bases)
         ocp = make_ocp(x, x_ref, step_obs(step_idx))
-        ocp_t = (ocp if lcfg.rti_margin == 0.0 else
-                 ocp._replace(min_dist=ocp.min_dist + lcfg.rti_margin))
-        sol = batched_solve(scfg_t, ocp_t, sqp_state)
-        status = (sol.status if lcfg.gate_stages is None
-                  else jax.vmap(lambda o, s: _gated_status(
-                      scfg, o, s, lcfg.gate_stages))(ocp, sol))
+        sol = batched_solve(scfg_t, _tighten_ocp(lcfg, ocp), sqp_state)
+        if (lcfg.gate_stages is None and lcfg.rti_margin == 0.0
+                and lcfg.rti_amax_scale == 1.0):
+            status = sol.status
+        else:
+            status = jax.vmap(lambda o, s: _step_status(
+                lcfg, scfg, o, s))(ocp, sol)
         key, sub = jax.random.split(key)
         noise = lcfg.noise_std * jax.random.normal(sub, (n, 2), dtype=dtype)
         u_apply = sol.U[:, 0] + noise

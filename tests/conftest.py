@@ -41,3 +41,23 @@ def _force_cpu_mesh():
 
 
 _force_cpu_mesh()
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The full suite compiles several hundred XLA CPU programs; keeping them
+    all loaded eventually segfaults LLVM's JIT inside
+    ``backend_compile_and_load`` (reproducible at the same test ~110
+    programs in, regardless of machine load — run standalone the same test
+    passes).  Dropping the caches between modules bounds resident JIT code
+    at the cost of recompiling the handful of shared solver programs.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -208,26 +208,6 @@ def test_deterministic_regression_goldens(config_name, tag, framework):
     np.testing.assert_allclose(X, golden, atol=1e-4)
 
 
-def test_true_rti_one_qp_per_step_feasible():
-    """1 warm-started QP per MPC step (the reference's ``maxqps=1``
-    deployment, optimizer.py:237) stays fully feasible under the HONEST
-    nonlinear gate on ZAM LF — a contract the reference never checks (it
-    sets ``nlp.TolIneq = -1``; see PARITY.md "true-RTI parity")."""
-    c = load_config(os.path.join(CFG, "config_LF_ZAM_Over-1_1.yaml"), SCN)
-    c = type(c)(**{**c.__dict__, "framework": "forcespro"})
-    lcfg = cl.make_loop_config(c, noised=False, **cl.RTI1_SETTINGS)
-    params = cl.make_loop_params(c, lcfg)
-    res = cl.closed_loop_jit(lcfg, params)
-    assert (np.asarray(res.status) >= 0).all()
-    assert float(np.asarray(res.viol).max()) < lcfg.solver.tol_infeas
-    # tracking stays reference-grade at the 1-QP budget
-    X = np.asarray(res.X)
-    ref = c.reference_path
-    rmsd_y = np.sqrt(np.sum((ref[:len(X), 1] - X[:, 1]) ** 2)
-                     / (len(X) - 1))
-    assert rmsd_y < 0.3
-
-
 def test_true_rti_one_qp_all_scenarios():
     """The 1-QP deployment recipes (``RTI1_SETTINGS`` LF /
     ``RTI1_CA_SETTINGS`` CA) report status >= 0 on every step of all three
@@ -254,6 +234,15 @@ def test_true_rti_one_qp_all_scenarios():
         res = cl.closed_loop_jit(lcfg, params)
         st = np.asarray(res.status)
         assert (st >= 0).all(), (name, st.min(), np.where(st < 0)[0])
+        if name == "config_LF_ZAM_Over-1_1.yaml":
+            # tracking stays reference-grade at the 1-QP budget
+            X = np.asarray(res.X)
+            ref = c.reference_path
+            rmsd_y = np.sqrt(np.sum((ref[:len(X), 1] - X[:, 1]) ** 2)
+                             / (len(X) - 1))
+            assert rmsd_y < 0.3
+            assert float(np.asarray(res.viol).max()) < \
+                lcfg.solver.tol_infeas
         if is_ca:
             X, U = np.asarray(res.X), np.asarray(res.U)
             obs = np.array([c.static_obstacle["position_x"],
@@ -287,3 +276,103 @@ def test_steady_state_warm_solves_report_converged():
     # and the distinction is real: not every step converges
     assert (np.asarray(res.status) == 1).mean() < 1.0 or \
         (np.asarray(res_ip.status) == 1).mean() < 1.0
+
+
+def test_gate_stages_status_semantics():
+    """_gated_status re-derives the feasibility half of status from the
+    TRUE problem over the gated prefix: a prefix-clean tail violation
+    upgrades -7 -> 0, a prefix violation downgrades to -7 regardless of
+    the solver's own (possibly tightened-problem) report."""
+    import types
+
+    from mpc_tpu.ops import sqp
+    from tests.test_sqp import straight_params
+
+    H = 6
+    scfg = sqp.SolverConfig(horizon=H)
+    p = straight_params(H, v=10.0)
+    p = p._replace(obs_centers=jnp_arr([[3.0, 0.0]] * 3))
+    # feasible straight plan (stays on y=0, obstacle rows violated: the
+    # path drives THROUGH the obstacle at x=3)
+    U = np.zeros((H, 2), np.float32)
+    X = np.stack([np.linspace(0, 6, H + 1), np.zeros(H + 1),
+                  np.zeros(H + 1), np.full(H + 1, 10.0),
+                  np.zeros(H + 1)], 1).astype(np.float32)
+    sol = types.SimpleNamespace(X=jnp_arr(X), U=jnp_arr(U),
+                                status=jnp_arr(0, np.int32))
+    # stage 0 (x=0) is ~3 m from the obstacle center = at the bound edge;
+    # use min_dist small so prefix is clean, tail (x≈3) violates
+    p_clean_prefix = p._replace(min_dist=jnp_arr(1.0, np.float32))
+    from mpc_tpu.planner.closed_loop import _gated_status
+    st = _gated_status(scfg, p_clean_prefix,
+                       types.SimpleNamespace(X=sol.X, U=sol.U,
+                                             status=jnp_arr(-7, np.int32)),
+                       1)
+    assert int(st) == 0  # tail-only violation upgrades under prefix gate
+    # prefix itself violating (huge min_dist) must report -7 even though
+    # the solver said 0
+    p_bad_prefix = p._replace(min_dist=jnp_arr(50.0, np.float32))
+    st2 = _gated_status(scfg, p_bad_prefix, sol, 1)
+    assert int(st2) == -7
+
+
+def jnp_arr(x, dtype=None):
+    import jax.numpy as jnp
+    return jnp.asarray(x, dtype)
+
+
+def test_rti_backoff_semantics():
+    """rti_margin / rti_amax_scale contract (round-4 code-review fix): the
+    SOLVER sees the tightened problem, while status is re-derived from the
+    TRUE problem — a plan inside the backoff band must NOT report -7.
+
+    Mechanism-level (deterministic): the behavioral CA sweeps live in the
+    RTI recipe tests; chaotic swerve-commitment sensitivity makes a
+    full-loop backoff assertion flaky across backends.
+    """
+    import dataclasses
+    import types
+
+    from mpc_tpu.ops import sqp
+    from mpc_tpu.planner.closed_loop import (_step_status, _tighten_ocp,
+                                             _tightened_solver_cfg)
+    from tests.test_sqp import straight_params
+
+    H = 6
+    c = load_config(os.path.join(CFG, "config_LF_ZAM_Over-1_1.yaml"), SCN)
+    lcfg = cl.make_loop_config(c, noised=False, rti_margin=0.4,
+                               rti_amax_scale=0.9)
+    # plumbing: knobs land on the LoopConfig, not the SolverConfig
+    assert lcfg.rti_margin == 0.4 and lcfg.rti_amax_scale == 0.9
+    scfg_t = _tightened_solver_cfg(lcfg)
+    assert scfg_t.a_max == pytest.approx(lcfg.solver.a_max * 0.9)
+
+    p = straight_params(H, v=10.0)
+    p = p._replace(obs_centers=jnp_arr([[5.0, -4.0]] * 3, np.float32),
+                   min_dist=jnp_arr(3.0, np.float32))
+    lcfg6 = dataclasses.replace(lcfg, solver=dataclasses.replace(
+        lcfg.solver, horizon=H))
+    ocp_t = _tighten_ocp(lcfg6, p)
+    assert float(ocp_t.min_dist) == pytest.approx(3.4)
+
+    # plan passes the obstacle at ~3.2 m: violates the TIGHTENED bound
+    # (3.4) but satisfies the TRUE one (3.0 + ego offsets...) — craft
+    # clearance between the two bounds exactly: distance to centers ~4 >
+    # 3.4?  Use y=0 path, obstacle at (5, -3.2): center distance at x=5 is
+    # 3.2 in [3.0, 3.4).
+    p2 = p._replace(obs_centers=jnp_arr([[5.0, -3.2]] * 3, np.float32))
+    lcfg2 = dataclasses.replace(lcfg6)
+    U = np.zeros((H, 2), np.float32)
+    X = np.stack([np.linspace(0, 6, H + 1), np.zeros(H + 1),
+                  np.zeros(H + 1), np.full(H + 1, 10.0),
+                  np.zeros(H + 1)], 1).astype(np.float32)
+    # the tightened solver would report -7 (its bound is 3.4)
+    sol = types.SimpleNamespace(X=jnp_arr(X), U=jnp_arr(U),
+                                status=jnp_arr(-7, np.int32))
+    st = _step_status(lcfg2, lcfg2.solver, p2, sol)
+    assert int(st) == 0  # true bound (3.0 circle clearance) holds
+
+    # and a genuinely true-violating plan stays -7
+    p3 = p._replace(obs_centers=jnp_arr([[5.0, -1.0]] * 3, np.float32))
+    st2 = _step_status(lcfg2, lcfg2.solver, p3, sol)
+    assert int(st2) == -7

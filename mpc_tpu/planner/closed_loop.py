@@ -680,23 +680,16 @@ def select_engine(scfg: sqp.SolverConfig, have_boundaries: bool):
             else sqp_vec_mod.solve_batch_vec)
 
 
-@partial(jax.jit, static_argnums=0)
-def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
-    """Batched closed loop on the throughput hot path.
+def _vmapped_solve(cfg, params, state):
+    """Per-lane vmapped solve with the batched-engine signature (the
+    fallback when :func:`select_engine` has no batched-native engine)."""
+    return jax.vmap(lambda p, st: sqp.solve(cfg, p, st))(params, state)
 
-    Same contract as ``closed_loop_batch``; engine via :func:`select_engine`
-    (fused kernels 4-58x over the XLA/vmapped paths on v5e —
-    FUSED_ABLATION.json).
-    """
+
+def _batch_helpers(lcfg: LoopConfig, params: LoopParams):
+    """Window/obstacle/OCP builders shared by the batched loop and the
+    serving step (closures over the batched ``params``)."""
     scfg = lcfg.solver
-    scfg_t = _tightened_solver_cfg(lcfg)
-    batched_solve = select_engine(scfg, params.boundaries is not None)
-    if batched_solve is None:
-        return closed_loop_batch(lcfg, params)
-
-    n = params.x_init.shape[0]
-    dtype = params.x_init.dtype
-
     ahead = max(scfg.horizon + 2, 16)
 
     def batched_window(step_idx, x, prev_bases):
@@ -727,6 +720,15 @@ def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
                              boundaries=params.boundaries,
                              boundary_signs=params.boundary_signs)
 
+    return batched_window, step_obs, make_ocp
+
+
+def _batch_cold_start(lcfg: LoopConfig, params: LoopParams, batched_solve):
+    """Warm-start state for a batched loop (vmapped init + warmup solves)."""
+    scfg = lcfg.solver
+    n = params.x_init.shape[0]
+    dtype = params.x_init.dtype
+    batched_window, step_obs, make_ocp = _batch_helpers(lcfg, params)
     state = jax.vmap(lambda _: sqp.init_state(
         scfg, jnp.zeros((scfg.horizon, 2), dtype), dtype))(jnp.arange(n))
     wcfg = _warmup_cfg(lcfg)
@@ -740,36 +742,107 @@ def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
         state = batched_solve(
             wcfg, _tighten_ocp(lcfg, make_ocp(params.x_init, x_ref0, obs0)),
             state).state
+    return state
 
-    def body(carry, step_idx):
-        x, sqp_state, key, prev_bases = carry
-        x_ref, bases = batched_window(step_idx, x, prev_bases)
-        ocp = make_ocp(x, x_ref, step_obs(step_idx))
-        sol = batched_solve(scfg_t, _tighten_ocp(lcfg, ocp), sqp_state)
-        if (lcfg.gate_stages is None and lcfg.rti_margin == 0.0
-                and lcfg.rti_amax_scale == 1.0):
-            status = sol.status
-        else:
-            status = jax.vmap(lambda o, s: _step_status(
-                lcfg, scfg, o, s))(ocp, sol)
-        key, sub = jax.random.split(key)
-        noise = lcfg.noise_std * jax.random.normal(sub, (n, 2), dtype=dtype)
-        u_apply = sol.U[:, 0] + noise
-        x_next = jax.vmap(lambda xl, ul: _plant_step(lcfg, xl, ul))(
-            x, u_apply)
-        warm = jax.vmap(_shift_state)(sol.state)
-        out = (x, u_apply, status, sol.viol, sol.cost,
-               sol.kkt_stat)
-        return (x_next, warm, key, jnp.asarray(bases, jnp.int32)), out
 
+def _batched_step(lcfg: LoopConfig, params: LoopParams, batched_solve,
+                  carry):
+    """One engine-batched closed-loop step.
+
+    carry = (step_idx, x (B, NX), SqpState batch, key, bases (B,)).
+    Returns (new_carry, (x, u_applied, status, viol, cost, stat)).
+    """
+    scfg = lcfg.solver
+    scfg_t = _tightened_solver_cfg(lcfg)
+    n = params.x_init.shape[0]
+    dtype = params.x_init.dtype
+    batched_window, step_obs, make_ocp = _batch_helpers(lcfg, params)
+
+    step_idx, x, sqp_state, key, prev_bases = carry
+    x_ref, bases = batched_window(step_idx, x, prev_bases)
+    ocp = make_ocp(x, x_ref, step_obs(step_idx))
+    sol = batched_solve(scfg_t, _tighten_ocp(lcfg, ocp), sqp_state)
+    if (lcfg.gate_stages is None and lcfg.rti_margin == 0.0
+            and lcfg.rti_amax_scale == 1.0):
+        status = sol.status
+    else:
+        status = jax.vmap(lambda o, s: _step_status(
+            lcfg, scfg, o, s))(ocp, sol)
+    key, sub = jax.random.split(key)
+    noise = lcfg.noise_std * jax.random.normal(sub, (n, 2), dtype=dtype)
+    u_apply = sol.U[:, 0] + noise
+    x_next = jax.vmap(lambda xl, ul: _plant_step(lcfg, xl, ul))(x, u_apply)
+    warm = jax.vmap(_shift_state)(sol.state)
+    out = (x, u_apply, status, sol.viol, sol.cost, sol.kkt_stat)
+    return (step_idx + 1, x_next, warm, key,
+            jnp.asarray(bases, jnp.int32)), out
+
+
+@partial(jax.jit, static_argnums=0)
+def closed_loop_batch_vec(lcfg: LoopConfig, params: LoopParams) -> LoopResult:
+    """Batched closed loop on the throughput hot path.
+
+    Same contract as ``closed_loop_batch``; engine via :func:`select_engine`
+    (fused kernels 4-58x over the XLA/vmapped paths on v5e —
+    FUSED_ABLATION.json).
+    """
+    batched_solve = select_engine(lcfg.solver,
+                                  params.boundaries is not None)
+    if batched_solve is None:
+        return closed_loop_batch(lcfg, params)
+
+    n = params.x_init.shape[0]
+    state = _batch_cold_start(lcfg, params, batched_solve)
     key0 = params.noise_key[0] if params.noise_key.ndim > 1 \
         else params.noise_key
-    carry0 = (params.x_init, state, key0, zero_bases)
+    carry0 = (jnp.asarray(0, jnp.int32), params.x_init, state, key0,
+              jnp.zeros((n,), jnp.int32))
+
+    def body(carry, _):
+        return _batched_step(lcfg, params, batched_solve, carry)
+
     _, (X, U, status, viol, cost, stat) = jax.lax.scan(
-        body, carry0, jnp.arange(lcfg.n_steps))
+        body, carry0, None, length=lcfg.n_steps)
     # scan stacks per-step outputs on axis 0: (T, B, ...) -> (B, T, ...)
     return LoopResult(X=jnp.swapaxes(X, 0, 1), U=jnp.swapaxes(U, 0, 1),
                       status=jnp.swapaxes(status, 0, 1),
                       viol=jnp.swapaxes(viol, 0, 1),
                       cost=jnp.swapaxes(cost, 0, 1),
                       stat=jnp.swapaxes(stat, 0, 1))
+
+
+def _serving_engine(lcfg: LoopConfig, params: LoopParams):
+    eng = select_engine(lcfg.solver, params.boundaries is not None)
+    return eng if eng is not None else _vmapped_solve
+
+
+def init_batch_carry(lcfg: LoopConfig, params: LoopParams):
+    """Initial serving carry for :func:`closed_loop_batch_step` (step 0,
+    including the configured warm-up solves)."""
+    n = params.x_init.shape[0]
+    state = jax.jit(_batch_cold_start, static_argnums=(0, 2))(
+        lcfg, params, _serving_engine(lcfg, params))
+    key0 = params.noise_key[0] if params.noise_key.ndim > 1 \
+        else params.noise_key
+    return (jnp.asarray(0, jnp.int32), params.x_init, state, key0,
+            jnp.zeros((n,), jnp.int32))
+
+
+@partial(jax.jit, static_argnums=0)
+def closed_loop_batch_step(lcfg: LoopConfig, params: LoopParams, carry,
+                           x_measured=None):
+    """ONE engine-batched warm NMPC step over externally measured states.
+
+    The serving-side counterpart of :func:`closed_loop_batch_vec`: the
+    plant is outside the loop (a fleet of real vehicles), so each call
+    solves every lane's warm NMPC problem once from ``x_measured``
+    ((B, NX); ``None`` uses the carry's own predicted states, in which
+    case the chain reproduces ``closed_loop_batch_vec`` exactly) and
+    returns the inputs to apply.  Used by
+    ``planner.online.BatchedOnlinePlanner``.
+    """
+    if x_measured is not None:
+        step_idx, _, state, key, bases = carry
+        carry = (step_idx, x_measured, state, key, bases)
+    return _batched_step(lcfg, params, _serving_engine(lcfg, params),
+                         carry)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,3 +74,73 @@ class OnlinePlanner:
                         cost=float(res.cost[0]),
                         planned_x=np.asarray(res.X[0]))
         return u, info
+
+
+class BatchedOnlinePlanner:
+    """Serve a FLEET of vehicles in lockstep: one warm NMPC solve per
+    vehicle per call, batched on-chip (the fused Pallas engines on TPU).
+
+    The single-stream :class:`OnlinePlanner` is the reference-parity
+    deployment shape (one vehicle, one measured state); this is the
+    TPU-native serving shape — thousands of independent vehicles on the
+    same roadway configuration solved as one compiled batch (0.3-4 us of
+    device time per vehicle per step at production budgets,
+    FUSED_ABLATION.json / bench.py).  Lanes never poison each other:
+    every lane carries its own warm state and per-lane status.
+
+        fleet = BatchedOnlinePlanner(config, n_lanes=1024)
+        U, info = fleet.step(X_measured)   # (1024, 5) -> (1024, 2)
+
+    Per-lane heterogeneous scenarios (different tracks/obstacles) can be
+    served by constructing ``LoopParams`` with ``parallel.multi`` and
+    passing them via ``params=``.
+    """
+
+    def __init__(self, config: PlanningConfig, n_lanes: int | None = None,
+                 horizon: Optional[int] = None, seed: int = 0,
+                 params=None, **solver_overrides):
+        from mpc_tpu.parallel import batch as pb
+
+        self.config = config
+        self.lcfg = cl.make_loop_config(config, horizon=horizon,
+                                        noised=False, **solver_overrides)
+        if params is None:
+            if n_lanes is None:
+                raise ValueError("need n_lanes (replicated scenario) or "
+                                 "prebuilt batched params")
+            one = cl.make_loop_params(config, self.lcfg, seed=seed)
+            params = jax.tree.map(
+                lambda x: jnp.broadcast_to(
+                    jnp.asarray(x)[None],
+                    (n_lanes,) + jnp.asarray(x).shape).copy(), one)
+            import jax.random as jrandom
+            params = params._replace(
+                noise_key=jrandom.split(jrandom.PRNGKey(seed), n_lanes))
+        self.params = params
+        self.n_lanes = int(self.params.x_init.shape[0])
+        self._carry = cl.init_batch_carry(self.lcfg, self.params)
+
+    def reset(self) -> None:
+        self._carry = cl.init_batch_carry(self.lcfg, self.params)
+
+    def step(self, x_measured) -> Tuple[np.ndarray, "BatchStepInfo"]:
+        """One warm batched solve from measured states (B, NX) ->
+        applied inputs (B, 2) + per-lane diagnostics."""
+        x = jnp.asarray(x_measured, self.params.x_init.dtype)
+        if self.lcfg.solver.model == "st" and x.shape[-1] == dyn_mod.NX:
+            x = jax.vmap(lambda xl: dyn_mod.ks_to_st_state(
+                xl, self.lcfg.solver.wheelbase,
+                self.lcfg.solver.vehicle.b))(x)
+        self._carry, out = cl.closed_loop_batch_step(
+            self.lcfg, self.params, self._carry, x)
+        _, u_apply, status, viol, cost, stat = out
+        info = BatchStepInfo(status=np.asarray(status),
+                             viol=np.asarray(viol),
+                             cost=np.asarray(cost))
+        return np.asarray(u_apply), info
+
+
+class BatchStepInfo(NamedTuple):
+    status: np.ndarray   # (B,) 1 converged / 0 max-iters / -7 infeasible
+    viol: np.ndarray     # (B,) max planned-stage violation per lane
+    cost: np.ndarray     # (B,) objective values

@@ -60,3 +60,65 @@ def test_online_handles_disturbed_measurements():
     planner.reset()
     u, info = planner.step(np.asarray(planner.params.x_init))
     assert info.status >= 0
+
+
+def test_batched_online_matches_batch_vec():
+    """The serving chain (closed_loop_batch_step fed its own predicted
+    states) must reproduce closed_loop_batch_vec exactly: same engine,
+    same warmup, same noise stream."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_tpu.utils import synthetic
+
+    B, T, H = 4, 6, 9
+    lcfg, params = synthetic.make_bench_loop(
+        n_steps=T, horizon=H, n_lanes=B, method="al",
+        al_iters=2, sqp_iters=2)
+    ref = cl.closed_loop_batch_vec(lcfg, params)
+
+    carry = cl.init_batch_carry(lcfg, params)
+    xs, us, sts = [], [], []
+    for _ in range(T):
+        carry, (x, u, status, viol, cost, stat) = cl.closed_loop_batch_step(
+            lcfg, params, carry)
+        xs.append(np.asarray(x))
+        us.append(np.asarray(u))
+        sts.append(np.asarray(status))
+    np.testing.assert_allclose(np.stack(xs, 1), np.asarray(ref.X),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.stack(us, 1), np.asarray(ref.U),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.stack(sts, 1), np.asarray(ref.status))
+
+
+def test_batched_online_planner_fleet():
+    """BatchedOnlinePlanner: a fleet on the ZAM LF scenario with per-lane
+    measured-state disturbances keeps every lane feasible and tracking."""
+    import jax.numpy as jnp
+
+    from mpc_tpu.planner.online import BatchedOnlinePlanner
+
+    c = load_config(os.path.join(CFG, "config_LF_ZAM_Over-1_1.yaml"), SCN)
+    c = type(c)(**{**c.__dict__, "framework": "forcespro"})
+    B = 3
+    fleet = BatchedOnlinePlanner(c, n_lanes=B, ip_sqp_iters=2, ip_iters=6,
+                                 ip_warm_duals=True)
+    rng = np.random.default_rng(3)
+    x = np.asarray(fleet.params.x_init)
+    from mpc_tpu.models import dynamics as dyn_mod
+    step = dyn_mod.make_step_fn("rk4", fleet.lcfg.solver.dt,
+                                fleet.lcfg.solver.wheelbase)
+    for k in range(8):
+        u, info = fleet.step(x)
+        assert u.shape == (B, 2)
+        assert (info.status >= 0).all(), (k, info.status)
+        # external plant: RK4 + per-lane measurement disturbance
+        x = np.stack([np.asarray(step(jnp.asarray(x[i]), jnp.asarray(u[i])))
+                      for i in range(B)])
+        x[:, :2] += rng.normal(0, 0.02, (B, 2))
+    ref_path = c.reference_path
+    # every lane still near the reference line after 8 disturbed steps
+    for i in range(B):
+        d = np.min(np.linalg.norm(ref_path - x[i, :2], axis=1))
+        assert d < 1.0, (i, d)

@@ -93,6 +93,7 @@ def measure_point(cfg, label, horizon, k_steps=30, reps=20,
         "host_ms_per_call_p50": round(host_ms, 3),
         "status_min": status_min,
         "vs_forcespro_budget": round(BUDGET_FP_MS / device_ms, 2),
+        "vs_casadi_budget": round(BUDGET_CA_MS / device_ms, 1),
         "platform": jax.default_backend(),
     }
     print(json.dumps(out))

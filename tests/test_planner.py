@@ -91,3 +91,34 @@ def test_cli_smoke(tmp_path):
     summary = json.loads(proc.stdout)
     assert summary["steps"] == 30
     assert summary["collided_obstacle"] is False
+
+
+def test_cli_rti1_smoke(tmp_path):
+    """--rti1 deployment preset through the CLI: collision-free run with
+    every step feasible on the forcespro-framework LF config, and a clean
+    error on a casadi-framework config."""
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_fp = os.path.join(str(tmp_path), "lf_fp.yaml")
+    with open(os.path.join(CFG, "config_LF_ZAM_Over-1_1.yaml")) as f:
+        text = f.read()
+    with open(cfg_fp, "w") as f:
+        f.write(text.replace("framework_name: casadi",
+                             "framework_name: forcespro"))
+    proc = subprocess.run(
+        [sys.executable, "-m", "mpc_tpu.planner.cli",
+         "--config", cfg_fp, "--scenario-dir", SCN,
+         "--deterministic", "--rti1"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=root)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout)
+    assert summary["collided_obstacle"] is False
+    assert "-7" not in summary["solver_status_counts"]  # json str keys
+    # casadi-framework config: clean error, not a bad run
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "mpc_tpu.planner.cli",
+         "--config", os.path.join(CFG, "config_LF_ZAM_Over-1_1.yaml"),
+         "--scenario-dir", SCN, "--deterministic", "--rti1"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=root)
+    assert proc2.returncode == 1
+    assert "forcespro-framework" in proc2.stderr

@@ -29,7 +29,10 @@ def ip_rows(results):
     """Fused IP kernel vs the vmapped ip path (forcespro-parity mode)."""
     for B, H, sqp_i, ip_i, warm in [(2048, 30, 5, 10, False),
                                     (2048, 9, 5, 10, False),
-                                    (2048, 9, 1, 10, True)]:
+                                    (2048, 9, 1, 10, True),
+                                    # hard-constrained serving throughput
+                                    # at the bench's ceiling batch
+                                    (12288, 30, 1, 6, True)]:
         cfg = sqp.SolverConfig(horizon=H, method="ip", ip_sqp_iters=sqp_i,
                                ip_iters=ip_i, ip_warm_duals=warm)
         params = make_batch(B, H)

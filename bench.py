@@ -32,18 +32,20 @@ def run_bench(batch: int = 1024, horizon: int = 30, n_steps: int = 100,
     from mpc_tpu.utils import synthetic
 
     # True-RTI operating point (al_iters=1, sqp_iters=1 = ONE warm-started
-    # Gauss-Newton iteration per closed-loop solve) with full-strength
-    # cold-start warmup — the direct counterpart of the reference FORCESPRO
-    # deployment's 1 QP per step (``maxqps=1``, optimizer.py:237).  On this
-    # workload it is 100% feasible over 1.2M solves with realized tracking
-    # IDENTICAL to the (2, 3) budget (round-4 sweep: dev mean 1.371 vs
-    # 1.372 m, p99 1.817 vs 1.818 m — the deviation is track geometry, not
-    # solver error).  n_steps=100 amortizes the axon relay's ~150-300 ms
-    # per-dispatch round trip (one dispatch runs the whole scan chain);
-    # the per-step device time is what the solves/s figure measures.
+    # Gauss-Newton iteration per closed-loop solve, applied as the full
+    # RTI step when it improves the AL merit — alphas=(1.0,)) with
+    # full-strength cold-start warmup: the direct counterpart of the
+    # reference FORCESPRO deployment's 1 QP per step (``maxqps=1``,
+    # optimizer.py:237 — which applies its step UNCONDITIONALLY).  On this
+    # workload it is 100% feasible over 1.6M solves with realized
+    # trajectories within 0.7 mm of the full-ladder run and tracking
+    # identical to the (3, 4) oracle budget (BENCH_QUALITY.json,
+    # tools/bench_quality.py).  n_steps=100 amortizes the axon relay's
+    # ~150-300 ms per-dispatch round trip (one dispatch runs the whole
+    # scan chain); the per-step device time is what solves/s measures.
     lcfg, params = synthetic.make_bench_loop(
         n_steps=n_steps, horizon=horizon, n_lanes=batch, method="al",
-        al_iters=1, sqp_iters=1)
+        al_iters=1, sqp_iters=1, alphas=(1.0,))
 
     import functools
 
@@ -81,11 +83,11 @@ def run_bench(batch: int = 1024, horizon: int = 30, n_steps: int = 100,
 def main():
     n_dev = len(jax.devices())
     platform = jax.devices()[0].platform
-    # round-4 fused-engine batch sweep on v5e at the (1,1) true-RTI point
-    # (closed-loop solves/s/chip, T=100 chains): 8192 -> 778k,
-    # 12288 -> 1.14-1.16M, 16384 -> 728k, 24576 -> 560k; 12288 (12 lane
-    # tiles) is the ceiling
-    batch = 12288 if platform != "cpu" else 128
+    # round-4 fused-engine batch sweep on v5e at the (1,1)/alphas=(1.0,)
+    # true-RTI point (closed-loop solves/s/chip, T=100 chains):
+    # 12288 -> 5.06M, 16384 -> 5.26M, 20480 -> 5.20M, 24576 -> 5.27M,
+    # 32768 -> 4.83M; 16384 (16 lane tiles) is the plateau knee
+    batch = 16384 if platform != "cpu" else 128
     solves_per_s, step_latency, ok, total = run_bench(batch=batch)
     per_chip = solves_per_s / n_dev
     result = {

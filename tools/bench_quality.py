@@ -26,10 +26,11 @@ from mpc_tpu.planner import closed_loop as cl
 from mpc_tpu.utils import synthetic
 
 
-def measure(batch, al, gn, n_steps=100, horizon=30):
+def measure(batch, al, gn, n_steps=100, horizon=30, alphas=None):
+    kw = {} if alphas is None else {"alphas": alphas}
     lcfg, params = synthetic.make_bench_loop(
         n_steps=n_steps, horizon=horizon, n_lanes=batch, method="al",
-        al_iters=al, sqp_iters=gn)
+        al_iters=al, sqp_iters=gn, **kw)
     res = cl.closed_loop_batch_vec(lcfg, params)
     X = np.asarray(res.X)
     status = np.asarray(res.status)
@@ -52,8 +53,14 @@ def main():
     rows = []
     X_ref, row_ref = measure(B, 3, 4)   # production-default budget
     rows.append(row_ref)
-    for al, gn in [(2, 3), (1, 2), (1, 1)]:
-        X, row = measure(B, al, gn)
+    for al, gn, alphas in [(2, 3, None), (1, 2, None), (1, 1, None),
+                           # the bench operating point: single GN step,
+                           # applied as the full RTI step when it improves
+                           # the AL merit
+                           (1, 1, (1.0,))]:
+        X, row = measure(B, al, gn, alphas=alphas)
+        if alphas is not None:
+            row["alphas"] = list(alphas)
         # closed-loop trajectory difference vs the (3,4) oracle budget
         row["max_dxy_vs_3x4_m"] = round(
             float(np.abs(X[..., :2] - X_ref[..., :2]).max()), 4)

@@ -67,3 +67,34 @@ def test_deep_horizon_batch_fully_feasible():
     viol = np.asarray(res.viol)
     assert (status >= 0).all(), f"{int((status < 0).sum())} infeasible steps"
     assert float(viol.max()) < 0.05
+
+
+def test_bench_operating_point_quality():
+    """The bench's true-RTI operating point — al(1,1) with the
+    merit-guarded full step (alphas=(1.0,)) — must match the (3,4) oracle
+    budget closely on the bench workload and stay fully feasible
+    (bench.py's headline is only meaningful with this property; the TPU
+    fused-engine version is evidenced in BENCH_QUALITY.json)."""
+    import numpy as np
+
+    from mpc_tpu.planner import closed_loop as cl
+    from mpc_tpu.utils import synthetic
+
+    # T >= 20 matters: shorter tracks compress the overtake geometry so
+    # the obstacle sits almost on top of the cold start — the known-hard
+    # configuration every budget struggles with (PARITY.md "where
+    # infeasibility lives"); the bench runs T=100 of the same geometry
+    B, T, H = 16, 20, 30
+    lcfg_rti, params = synthetic.make_bench_loop(
+        n_steps=T, horizon=H, n_lanes=B, method="al",
+        al_iters=1, sqp_iters=1, alphas=(1.0,))
+    lcfg_oracle, _ = synthetic.make_bench_loop(
+        n_steps=T, horizon=H, n_lanes=B, method="al",
+        al_iters=3, sqp_iters=4)
+    r1 = cl.closed_loop_batch_vec(lcfg_rti, params)
+    r2 = cl.closed_loop_batch_vec(lcfg_oracle, params)
+    assert (np.asarray(r1.status) >= 0).all()
+    assert (np.asarray(r2.status) >= 0).all()
+    dxy = np.abs(np.asarray(r1.X)[..., :2]
+                 - np.asarray(r2.X)[..., :2]).max()
+    assert dxy < 5e-3, dxy  # mm-scale equivalence (TPU measured 0.5 mm)

@@ -120,6 +120,26 @@ class BatchedOnlinePlanner:
         self.n_lanes = int(self.params.x_init.shape[0])
         self._carry = cl.init_batch_carry(self.lcfg, self.params)
 
+    @classmethod
+    def from_scenarios(cls, cfgs, horizon: Optional[int] = None,
+                       seeds=None, **solver_overrides):
+        """Heterogeneous fleet: one lane per PlanningConfig (different
+        tracks/obstacles/boundaries served in one compiled batch, via
+        ``parallel.multi.make_multi_scenario_batch``)."""
+        from mpc_tpu.parallel import multi as pm
+
+        lcfg, params, lane_lengths = pm.make_multi_scenario_batch(
+            cfgs, horizon=horizon, noised=False, seeds=seeds,
+            **solver_overrides)
+        self = cls.__new__(cls)
+        self.config = list(cfgs)
+        self.lcfg = lcfg
+        self.params = params
+        self.lane_lengths = lane_lengths
+        self.n_lanes = int(params.x_init.shape[0])
+        self._carry = cl.init_batch_carry(lcfg, params)
+        return self
+
     def reset(self) -> None:
         self._carry = cl.init_batch_carry(self.lcfg, self.params)
 

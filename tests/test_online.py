@@ -122,3 +122,36 @@ def test_batched_online_planner_fleet():
     for i in range(B):
         d = np.min(np.linalg.norm(ref_path - x[i, :2], axis=1))
         assert d < 1.0, (i, d)
+
+
+def test_batched_online_heterogeneous_fleet():
+    """BatchedOnlinePlanner.from_scenarios: one ZAM lane + one USA lane
+    served in the same compiled batch, each tracking its own reference."""
+    import jax.numpy as jnp
+
+    from mpc_tpu.models import dynamics as dyn_mod
+    from mpc_tpu.planner.online import BatchedOnlinePlanner
+
+    cz = load_config(os.path.join(CFG, "config_LF_ZAM_Over-1_1.yaml"), SCN)
+    cu = load_config(os.path.join(CFG, "config_LF_USA_Lanker-2_18_T-1.yaml"),
+                     SCN)
+    cz = type(cz)(**{**cz.__dict__, "framework": "forcespro"})
+    cu = type(cu)(**{**cu.__dict__, "framework": "forcespro"})
+    fleet = BatchedOnlinePlanner.from_scenarios(
+        [cz, cu], ip_sqp_iters=2, ip_iters=6, ip_warm_duals=True)
+    assert fleet.n_lanes == 2
+    x = np.asarray(fleet.params.x_init)
+    step = dyn_mod.make_step_fn("rk4", fleet.lcfg.solver.dt,
+                                fleet.lcfg.solver.wheelbase)
+    for k in range(6):
+        u, info = fleet.step(x)
+        assert (info.status >= 0).all(), (k, info.status)
+        x = np.stack([np.asarray(step(jnp.asarray(x[i]), jnp.asarray(u[i])))
+                      for i in range(2)])
+    # each lane advanced along ITS OWN reference path
+    for i, c in enumerate([cz, cu]):
+        ref = c.reference_path
+        d = np.min(np.linalg.norm(ref - x[i, :2], axis=1))
+        assert d < 1.0, (i, d)
+    # and the lanes genuinely went different places (heterogeneous batch)
+    assert np.linalg.norm(x[0, :2] - x[1, :2]) > 10.0

@@ -60,7 +60,8 @@ _MU0 = 1.0
 _SIGMA_B = 0.2
 _TAU = 0.995
 _MU_MIN = 1e-8
-# sqp._solve_ip RTI line-search ladder
+# sqp._solve_ip RTI line-search ladder default (SolverConfig.ip_alphas;
+# () = unguarded full RTI step, the reference's maxqps=1 semantics)
 _IP_ALPHAS = (1.0, 0.5, 0.25, 0.1, 0.03)
 
 
@@ -547,15 +548,21 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                 return 0
 
             jax.lax.fori_loop(0, H, scrub, 0)
-            best_m = penalty_merit_rollout(zero, write=False)
-            best_a = zero
             ones = jnp.ones_like(zero)
-            for a_val in _IP_ALPHAS:
-                m_a = penalty_merit_rollout(a_val * ones, write=False)
-                take = m_a < best_m
-                best_m = jnp.where(take, m_a, best_m)
-                best_a = jnp.where(take, a_val * ones, best_a)
-            penalty_merit_rollout(best_a, write=True)
+            if len(cfg.ip_alphas) == 0:
+                # unguarded RTI (reference maxqps=1 semantics): apply the
+                # full step with no merit test — ONE rollout instead of
+                # len(ladder)+2; the big warm-path lever (VERDICT r4 #2)
+                penalty_merit_rollout(ones, write=True)
+            else:
+                best_m = penalty_merit_rollout(zero, write=False)
+                best_a = zero
+                for a_val in cfg.ip_alphas:
+                    m_a = penalty_merit_rollout(a_val * ones, write=False)
+                    take = m_a < best_m
+                    best_m = jnp.where(take, m_a, best_m)
+                    best_a = jnp.where(take, a_val * ones, best_a)
+                penalty_merit_rollout(best_a, write=True)
             return 0
 
         jax.lax.fori_loop(0, cfg.ip_sqp_iters, sqp_body, 0)

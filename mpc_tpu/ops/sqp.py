@@ -181,6 +181,19 @@ class SolverConfig:
                                      # (FORCESPRO maxqps=1 deploys warm-
                                      # started BFGS duals the same way,
                                      # optimizer.py:237)
+    ip_alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1, 0.03)
+                                     # ip-mode RTI line-search ladder.  The
+                                     # default 5-rung exact-penalty ladder is
+                                     # the robust cold-start choice; at the
+                                     # warm 1-QP deployment point a single
+                                     # rung (1.0,) (full step if it improves
+                                     # the merit) — or the empty tuple ()
+                                     # for the reference's own semantics
+                                     # (apply the RTI step UNCONDITIONALLY,
+                                     # no merit guard at all: FORCESPRO
+                                     # maxqps=1, optimizer.py:237) — removes
+                                     # most of the per-step rollout work
+                                     # (item: FUSED_ABLATION warm rows)
     ip_ls_rho: float = 300.0         # exact-penalty weight in the ip-mode
                                      # line search (objective + rho * viol).
                                      # Too large (1e3) accepts any
@@ -666,13 +679,20 @@ def _solve_ip(cfg: SolverConfig, params: OcpParams,
             phi = jnp.where(jnp.isnan(phi), jnp.inf, phi)
             return phi, Xa, Ua
 
-        alphas = jnp.asarray((1.0, 0.5, 0.25, 0.1, 0.03), dtype)
-        phis, Xs, Us = jax.vmap(try_alpha)(alphas)
-        phi0, _, _ = try_alpha(jnp.asarray(0.0, dtype))
-        best = jnp.argmin(phis)
-        take = phis[best] < phi0
-        X_new = jnp.where(take, Xs[best], X)
-        U_new = jnp.where(take, Us[best], U)
+        if len(cfg.ip_alphas) == 0:
+            # unguarded RTI: apply the full step unconditionally — the
+            # reference deployment's exact semantics (maxqps=1 with no
+            # merit test, optimizer.py:237, 326-342)
+            U_new = jnp.clip(U + dU_dir, u_lo_, u_hi_)
+            X_new = _rollout(cfg, params.x0, U_new)
+        else:
+            alphas = jnp.asarray(cfg.ip_alphas, dtype)
+            phis, Xs, Us = jax.vmap(try_alpha)(alphas)
+            phi0, _, _ = try_alpha(jnp.asarray(0.0, dtype))
+            best = jnp.argmin(phis)
+            take = phis[best] < phi0
+            X_new = jnp.where(take, Xs[best], X)
+            U_new = jnp.where(take, Us[best], U)
         # carry the QP's row duals: they estimate the NLP multipliers at the
         # final iterate (IPOPT reports convergence on exactly this Lagrangian
         # residual, reference optimizer.py:556-558)

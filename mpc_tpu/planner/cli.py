@@ -75,9 +75,8 @@ def main(argv=None) -> int:
                          if config.use_case == "collision_avoidance"
                          else _cl.RTI1_SETTINGS)
     # an explicit --horizon wins over a preset horizon
-    horizon = args.horizon if args.horizon is not None \
-        else overrides.pop("horizon", None)
-    overrides.pop("horizon", None)
+    preset_h = overrides.pop("horizon", None)
+    horizon = args.horizon if args.horizon is not None else preset_h
     planner = MPCPlanner(config, horizon=horizon,
                          noised=False if args.deterministic else None,
                          seed=args.seed, **overrides)

@@ -451,9 +451,14 @@ def _gated_status(scfg: sqp.SolverConfig, ocp: sqp.OcpParams,
     v = jnp.maximum(jnp.maximum(lo - h, h - hi), 0.0)
     v = jnp.where(jnp.isfinite(v), v, 0.0) / sqp.row_scales(scfg, v.dtype)
     ok = jnp.max(v) < jnp.asarray(scfg.tol_infeas, v.dtype)
-    return jnp.where(ok, jnp.maximum(sol.status, 0),
-                     jnp.asarray(-7, sol.status.dtype)).astype(
-                         sol.status.dtype)
+    # rewrite only the feasibility half of the status: -7 -> 0 when the
+    # gated window is truly feasible; any OTHER negative code (a future
+    # numerical-failure flag, say) passes through untouched
+    seven = jnp.asarray(-7, sol.status.dtype)
+    return jnp.where(ok,
+                     jnp.where(sol.status == seven,
+                               jnp.asarray(0, sol.status.dtype), sol.status),
+                     seven).astype(sol.status.dtype)
 
 
 def _step_status(lcfg: LoopConfig, scfg: sqp.SolverConfig,

@@ -24,7 +24,11 @@ from mpc_tpu.planner import closed_loop as cl
 
 
 class StepInfo(NamedTuple):
-    status: int        # 1 converged / 0 max-iters / -7 infeasible
+    status: int        # 1 converged / 0 max-iters-or-gated / -7 infeasible.
+                       # Under a gate_stages=g preset (e.g. RTI1_CA_SETTINGS)
+                       # 0 certifies only the APPLIED PREFIX (stages 0..g) of
+                       # the plan feasible, not the full horizon — `viol`
+                       # stays the full-plan violation either way.
     viol: float        # max constraint violation of the planned horizon
     cost: float        # objective value
     planned_x: np.ndarray  # the state the solver planned from
@@ -99,9 +103,8 @@ class BatchedOnlinePlanner:
     def __init__(self, config: PlanningConfig, n_lanes: int | None = None,
                  horizon: Optional[int] = None, seed: int = 0,
                  params=None, **solver_overrides):
-        from mpc_tpu.parallel import batch as pb
-
         self.config = config
+        self.lane_lengths = None  # set by from_scenarios (heterogeneous)
         self.lcfg = cl.make_loop_config(config, horizon=horizon,
                                         noised=False, **solver_overrides)
         if params is None:
@@ -161,6 +164,9 @@ class BatchedOnlinePlanner:
 
 
 class BatchStepInfo(NamedTuple):
-    status: np.ndarray   # (B,) 1 converged / 0 max-iters / -7 infeasible
+    status: np.ndarray   # (B,) 1 converged / 0 max-iters-or-gated /
+                         # -7 infeasible.  With gate_stages=g presets, 0
+                         # certifies the applied prefix (stages 0..g) only;
+                         # `viol` stays the FULL-plan violation.
     viol: np.ndarray     # (B,) max planned-stage violation per lane
     cost: np.ndarray     # (B,) objective values

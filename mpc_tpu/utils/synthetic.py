@@ -60,12 +60,55 @@ def _smooth01(t: np.ndarray) -> np.ndarray:
     return t * t * (3.0 - 2.0 * t)
 
 
+def stress_track(n_steps: int, v: float = 15.0, dt: float = 0.1,
+                 offset: float = 0.9, pre_avoid: float = 1.2
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """CA-STRESS variant: the reference line UNDER-avoids by design.
+
+    A nominally straight lane with an in-lane obstacle ``offset`` meters
+    below the line, placed so it ENTERS the planning horizon mid-loop (the
+    T=10 geometry PARITY.md identifies as "where infeasibility lives").
+    The reference swerves only ``pre_avoid`` meters — deliberately short
+    of the ``offset + clearance`` the CA rows demand — so tracking the
+    reference alone violates the constraints and the solver must push the
+    trajectory ~1 m further out from the constraint rows while the
+    obstacle slides into the window.  This is the workload where the
+    per-step iteration budget actually binds (unlike
+    :func:`overtake_track`, whose fully pre-avoiding line is
+    quality-saturated at one GN iteration — VERDICT r4 weak #1).
+
+    Returns (path (T,2), orientation (T,), obstacle_center (2,)).
+    """
+    T = n_steps
+    s = np.arange(T) * v * dt
+    x = 30.0 + s
+    L = s[-1] if T > 1 else 1.0
+    obs_s = 0.55 * L
+    # partial swerve: peaks at the obstacle, returns afterwards
+    y = (-1.15
+         + pre_avoid * _smooth01((s - (obs_s - 24.0)) / 16.0)
+         - pre_avoid * _smooth01((s - (obs_s + 10.0)) / 15.0))
+    path = np.stack([x, y], axis=1)
+    seg = np.diff(path, axis=0)
+    psi = np.arctan2(seg[:, 1], seg[:, 0])
+    psi = np.concatenate([psi, psi[-1:]])
+    obstacle = np.array([30.0 + obs_s, -1.15 - offset])
+    return path, psi, obstacle
+
+
 def make_bench_loop(n_steps: int, horizon: int, n_lanes: int,
                     mode: str = "forcespro", dtype=jnp.float32,
-                    **solver_overrides):
-    """(LoopConfig, batched LoopParams) for the closed-loop benchmark."""
+                    workload: str = "overtake", **solver_overrides):
+    """(LoopConfig, batched LoopParams) for the closed-loop benchmark.
+
+    workload: 'overtake' (pre-avoiding reference line — throughput
+    saturation) or 'ca_stress' (straight line at an in-lane obstacle —
+    the budget-binding quality workload, :func:`stress_track`).
+    """
     v, dt = 15.0, 0.1
-    path, psi, obstacle = overtake_track(n_steps + horizon + 2, v, dt)
+    track_fn = {"overtake": overtake_track,
+                "ca_stress": stress_track}[workload]
+    path, psi, obstacle = track_fn(n_steps + horizon + 2, v, dt)
 
     if mode == "forcespro":
         H = horizon
@@ -75,12 +118,19 @@ def make_bench_loop(n_steps: int, horizon: int, n_lanes: int,
         H = horizon
         integ = "euler"
         use_term = False
+    # loop-level robustification knobs ride the same override channel as
+    # in closed_loop.make_loop_config
+    loop_kw = {k: solver_overrides.pop(k)
+               for k in ("gate_stages", "rti_margin", "rti_amax_scale",
+                         "cold_start_solves")
+               if k in solver_overrides}
     scfg = sqp.SolverConfig(
         horizon=H, dt=dt, integrator=integ, formulation=mode,
         use_terminal_cost=use_term, **solver_overrides)
+    loop_kw.setdefault("cold_start_solves", 4)
     lcfg = cl.LoopConfig(solver=scfg, mode=mode, n_steps=n_steps,
                          noise_std=0.0, plant_integrator=integ,
-                         cold_start_solves=4)
+                         **loop_kw)
 
     track = ref_mod.build_track(path, psi, v, H, mode, dtype)
     from mpc_tpu.models.constraints import circle_centers

@@ -135,6 +135,27 @@ def test_fused_ip_boundary_rows_match_reference():
     assert float(jnp.max(got.X[..., 1])) < 1.6
 
 
+@pytest.mark.parametrize("ladder", [(1.0,), ()])
+def test_fused_ip_alphas_variants_match_reference(ladder):
+    """The configurable RTI ladder (single rung / UNGUARDED full step —
+    the reference's maxqps=1 semantics) through the kernel vs the vmapped
+    spec (VERDICT r4 item 2)."""
+    H, B = 9, 2
+    cfg = sqp.SolverConfig(horizon=H, method="ip", ip_sqp_iters=1,
+                           ip_iters=4, ip_warm_duals=True,
+                           ip_alphas=ladder)
+    params = _batchify(_obstacle_params(H), B)
+    state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
+    ref = sqp.solve_batch(cfg, params, state)
+    got = fused_ip.solve_batch_fused_ip(cfg, params, state, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.viol), np.asarray(ref.viol),
+                               atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(got.status),
+                                  np.asarray(ref.status))
+
+
 def test_fused_ip_fallback_on_ineligible():
     """Boundary rows WITHOUT boundary data fall back to the vmapped path."""
     H, B = 6, 2

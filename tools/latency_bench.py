@@ -123,8 +123,13 @@ def main():
         # deep horizon (the BASELINE.json H=30 target has no ref analog)
         measure_point(cfg, "ip2x8_h30", horizon=31,
                       ip_sqp_iters=2, ip_iters=8),
-        measure_point(cfg, "al23_h30", horizon=31, method="al",
-                      al_iters=2, sqp_iters=3),
+        # at H=30 the whole approach-and-stop maneuver sits inside one
+        # horizon and AL(2x3) is genuinely multiplier-budget-bound
+        # (status -7 at mid-run steps regardless of warmup — r5 sweep);
+        # AL(3x4) is the cheapest fully-feasible AL point at this depth,
+        # so THAT is the deployment row (VERDICT r4 weak #5)
+        measure_point(cfg, "al34_h30", horizon=31, method="al",
+                      al_iters=3, sqp_iters=4),
     ]
     # true RTI — 1 warm-started QP per step (reference maxqps=1 with
     # nlp.TolIneq = -1, optimizer.py:237-240) on all three reference

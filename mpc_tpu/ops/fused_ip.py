@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mpc_tpu.ops import sqp as S
-from mpc_tpu.ops.ipqp import _WARM_KAPPA
+from mpc_tpu.ops.ipqp import _S_FLOOR, _SIG_MAX, _WARM_KAPPA
 from mpc_tpu.ops.fused_gn import (
     LANE_TILE, NR, NU, NX, _LANES, _SUB, _assemble_quad, _cdiv,
     _compute_rows, _lin_step, _pack, _read_vec, _row_bounds, _row_values,
@@ -186,12 +186,12 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                 # the dz elimination's -z (see ipqp.ip_iteration)
                 if hi is not None:
                     rs_hi = shi[i] - (hi - cs[i])
-                    sg = zhi[i] / shi[i]
+                    sg = jnp.minimum(zhi[i] / shi[i], _SIG_MAX)
                     w_i = w_i + mu_b / shi[i] + sg * rs_hi
                     sig_i = sig_i + sg
                 if lo is not None:
                     rs_lo = slo[i] - (cs[i] - lo)
-                    sg = zlo[i] / slo[i]
+                    sg = jnp.minimum(zlo[i] / slo[i], _SIG_MAX)
                     w_i = w_i - mu_b / slo[i] - sg * rs_lo
                     sig_i = sig_i + sg
                 algr.append((w_i, sig_i))
@@ -458,7 +458,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                     for i, (lo, hi) in enumerate(bounds):
                         if lo is not None:
                             rs_lo = slo[i] - (cs[i] - lo)
-                            sg = zlo[i] / slo[i]
+                            sg = jnp.minimum(zlo[i] / slo[i], _SIG_MAX)
                             dsl = Jd[i] - rs_lo
                             dzl = mu_b / slo[i] - zlo[i] - sg * dsl
                             amin = ftb(slo[i], dsl, amin)
@@ -468,7 +468,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                             dzl = zero
                         if hi is not None:
                             rs_hi = shi[i] - (hi - cs[i])
-                            sg = zhi[i] / shi[i]
+                            sg = jnp.minimum(zhi[i] / shi[i], _SIG_MAX)
                             dsh = -Jd[i] - rs_hi
                             dzh = mu_b / shi[i] - zhi[i] - sg * dsh
                             amin = ftb(shi[i], dsh, amin)
@@ -508,14 +508,16 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                     slo_n, shi_n, zlo_n, zhi_n = [], [], [], []
                     for i, (lo, hi) in enumerate(bounds):
                         if lo is not None:
-                            sl = slo[i] + alpha * dslo[i]
+                            sl = jnp.maximum(slo[i] + alpha * dslo[i],
+                                             _S_FLOOR)
                             zl = zlo[i] + alpha * dzlo[i]
                             gap = gap + sl * zl
                         else:
                             sl = jnp.ones_like(zero)
                             zl = zero
                         if hi is not None:
-                            sh = shi[i] + alpha * dshi[i]
+                            sh = jnp.maximum(shi[i] + alpha * dshi[i],
+                                             _S_FLOOR)
                             zh = zhi[i] + alpha * dzhi[i]
                             gap = gap + sh * zh
                         else:

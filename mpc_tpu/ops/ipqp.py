@@ -38,6 +38,17 @@ from mpc_tpu.ops import riccati
 NX = 5  # KS default; every kernel below derives the actual NX/NU from QpData
 NU = 2
 _WARM_KAPPA = 100.0  # warm-start dual clip band around the central path
+# float32 overflow guards (HPIPM-style iterate safeguards): the
+# fraction-to-boundary rule keeps slacks positive but lets them decay
+# multiplicatively ((1-tau)^k), so on a degenerate row s can underflow and
+# the row weight sigma = z/s (and the barrier force mu/s) overflow to inf
+# in f32 — one inf in J'SJ turns the whole Riccati sweep NaN and the NaN
+# then persists in the dual state (observed: 1 lane in 8 of the dryrun's
+# open-loop batch, MULTICHIP_r04 7/8 — VERDICT r4 item 7).  Flooring s and
+# capping sigma bounds the Newton system without touching converged paths
+# (central-path sigmas are <= ~1e6).
+_S_FLOOR = 1e-10
+_SIG_MAX = 1e8
 
 
 class QpData(NamedTuple):
@@ -151,8 +162,8 @@ def ip_iteration(qp: QpData, st: IpState, reg: float,
     rs_lo = jnp.where(m_lo, st.s_lo - (c - qp.lo), 0.0)
     rs_hi = jnp.where(m_hi, st.s_hi - (qp.hi - c), 0.0)
 
-    sig_lo = jnp.where(m_lo, st.z_lo / st.s_lo, 0.0)
-    sig_hi = jnp.where(m_hi, st.z_hi / st.s_hi, 0.0)
+    sig_lo = jnp.where(m_lo, jnp.minimum(st.z_lo / st.s_lo, _SIG_MAX), 0.0)
+    sig_hi = jnp.where(m_hi, jnp.minimum(st.z_hi / st.s_hi, _SIG_MAX), 0.0)
     sigma_rows = sig_lo + sig_hi                       # (H+1, NROWS)
 
     mu = st.mu
@@ -213,8 +224,10 @@ def ip_iteration(qp: QpData, st: IpState, reg: float,
         jnp.minimum(max_step(st.z_lo, dz_lo, m_lo),
                     max_step(st.z_hi, dz_hi, m_hi))))
 
-    s_lo = jnp.where(m_lo, st.s_lo + alpha * ds_lo, 1.0)
-    s_hi = jnp.where(m_hi, st.s_hi + alpha * ds_hi, 1.0)
+    s_lo = jnp.where(m_lo, jnp.maximum(st.s_lo + alpha * ds_lo, _S_FLOOR),
+                     1.0)
+    s_hi = jnp.where(m_hi, jnp.maximum(st.s_hi + alpha * ds_hi, _S_FLOOR),
+                     1.0)
     z_lo = jnp.where(m_lo, st.z_lo + alpha * dz_lo, 0.0)
     z_hi = jnp.where(m_hi, st.z_hi + alpha * dz_hi, 0.0)
 

@@ -112,6 +112,46 @@ def closed_loop_batch_sharded(lcfg: cl.LoopConfig, params: cl.LoopParams,
         return jax.jit(f, out_shardings=out_sh)(params)
 
 
+def lower_closed_loop_sharded(lcfg: cl.LoopConfig, params: cl.LoopParams,
+                              mesh: Mesh):
+    """Lowered (unexecuted) XLA program of :func:`closed_loop_batch_sharded`
+    (engine-sharded path) for program-structure inspection — the collective
+    census (tools/scaling_census.py) counts cross-device collectives and
+    their byte volumes in the compiled HLO to bound ICI traffic/step."""
+    params = mesh_mod.shard_lanes(params, mesh)
+    in_specs = (_lane_specs(params),)
+    out_shape = jax.eval_shape(
+        lambda p: cl.closed_loop_batch_vec(lcfg, p), params)
+    out_specs = _lane_specs(out_shape)
+    f = shard_map(lambda p: cl.closed_loop_batch_vec(lcfg, p), mesh=mesh,
+                  in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    with mesh:
+        return jax.jit(f).lower(params)
+
+
+def lower_summarize_loop(result_shape, mesh: Mesh):
+    """Lowered XLA program of :func:`summarize_loop` (same census use)."""
+    spec = P("dp")
+
+    def reduce_fn(status, viol, cost):
+        conv = jnp.sum((status == 1).astype(jnp.int32))
+        infeas = jnp.sum((status < 0).astype(jnp.int32))
+        n = status.size
+        return (
+            jax.lax.psum(conv, "dp"),
+            jax.lax.psum(infeas, "dp"),
+            jax.lax.pmax(jnp.max(viol), "dp"),
+            jax.lax.psum(jnp.sum(cost), "dp")
+            / jax.lax.psum(jnp.asarray(n, cost.dtype), "dp"),
+        )
+
+    f = shard_map(reduce_fn, mesh=mesh, in_specs=(spec, spec, spec),
+                  out_specs=(P(), P(), P(), P()))
+    with mesh:
+        return jax.jit(f).lower(result_shape.status, result_shape.viol,
+                                result_shape.cost)
+
+
 def summarize(solution: sqp.Solution, mesh: Mesh) -> BatchSummary:
     """Mesh-wide reduction of solver diagnostics via psum/pmax collectives.
 

@@ -112,10 +112,26 @@ class MPCPlanner:
         deviation = native.deviation_to_path(X, cfg.origin_reference_path)
 
         ob = cfg.static_obstacle
-        hit_obs = native.traj_obstacle_collision(
-            X, cfg.vehicle.l, cfg.vehicle.w,
-            (ob["position_x"], ob["position_y"]),
-            ob["length"], ob["width"], ob["orientation"]) >= 0
+        if cfg.obstacle_trajectory is not None:
+            # moving obstacle: validate each step against the obstacle's
+            # pose AT that step (the reference's frozen-obstacle check,
+            # test_mpc_planner.py:37-47 via pycrcc, would miss any
+            # collision with where the obstacle actually is)
+            traj = np.asarray(cfg.obstacle_trajectory, dtype=float)
+            hit_obs = False
+            for t in range(X.shape[0]):
+                ot = traj[min(t, len(traj) - 1)]
+                if native.traj_obstacle_collision(
+                        X[t:t + 1], cfg.vehicle.l, cfg.vehicle.w,
+                        (ot[0], ot[1]), ob["length"], ob["width"],
+                        ot[2]) >= 0:
+                    hit_obs = True
+                    break
+        else:
+            hit_obs = native.traj_obstacle_collision(
+                X, cfg.vehicle.l, cfg.vehicle.w,
+                (ob["position_x"], ob["position_y"]),
+                ob["length"], ob["width"], ob["orientation"]) >= 0
         hit_left = native.traj_boundary_collision(
             X, cfg.vehicle.l, cfg.vehicle.w, cfg.left_road_boundary) >= 0
         hit_right = native.traj_boundary_collision(

@@ -32,13 +32,24 @@ def make_scenario_xml(benchmark_id: str, length: float = 120.0,
                       lane_width: float = 3.5, curvature: float = 0.0,
                       obstacle_frac: float | None = 0.45,
                       v0: float = 18.0, t_end: int | None = None,
-                      n_points: int = 60) -> str:
+                      n_points: int = 60,
+                      moving_frac: float | None = None,
+                      moving_v: float = 6.0,
+                      moving_offset: float = -1.1) -> str:
     """Build a two-lane road scenario as a CommonRoad 2018b XML string.
 
     The centerline is a clothoid-ish arc: heading theta(s) = curvature * s.
     The ego starts near the right-lane start; the goal sits near the end of
     the right lane; the optional obstacle blocks the right lane at
     ``obstacle_frac`` of the length.
+
+    ``moving_frac`` adds a DYNAMIC obstacle with a real ``<trajectory>``
+    (the reference's scenarios never ship one — its planner freezes dynamic
+    obstacles at their initial state anyway, configuration.py:472-476): a
+    slow lead vehicle starting at ``moving_frac`` of the length, driving
+    along the lane at ``moving_v`` m/s, laterally offset ``moving_offset``
+    meters from the lane center (riding near the curb, the classic
+    overtake-a-slow-vehicle geometry).
     """
     s = np.linspace(0.0, length, n_points)
     # constant curvature arc: theta(s) = curvature * s
@@ -90,6 +101,77 @@ def make_scenario_xml(benchmark_id: str, length: float = 120.0,
         <exact>0</exact>
       </time>
     </initialState>
+  </obstacle>
+"""
+
+    if moving_frac is not None:
+        # arc-length parameterization of the ego-lane center for the lead
+        # vehicle's path (follows the lane at constant speed)
+        seg = np.hypot(*np.diff(ego_center, axis=0).T)
+        s_axis = np.concatenate([[0.0], np.cumsum(seg)])
+        theta_of = lambda sv: float(np.interp(sv, s_axis, theta))
+
+        def center_at(sv):
+            cx = float(np.interp(sv, s_axis, ego_center[:, 0]))
+            cy = float(np.interp(sv, s_axis, ego_center[:, 1]))
+            th = theta_of(sv)
+            # lateral offset along the left normal
+            return (cx - moving_offset * np.sin(th),
+                    cy + moving_offset * np.cos(th), th)
+
+        s0 = moving_frac * s_axis[-1]
+        ox0, oy0, th0 = center_at(s0)
+        states = []
+        for t in range(1, t_end + 1):
+            sv = min(s0 + moving_v * 0.1 * t, s_axis[-1])
+            ox, oy, th = center_at(sv)
+            states.append(
+                f"""      <state>
+        <position>
+          <point>
+            <x>{ox:.6f}</x>
+            <y>{oy:.6f}</y>
+          </point>
+        </position>
+        <orientation>
+          <exact>{th:.6f}</exact>
+        </orientation>
+        <velocity>
+          <exact>{moving_v:.4f}</exact>
+        </velocity>
+        <time>
+          <exact>{t}</exact>
+        </time>
+      </state>
+""")
+        obstacle_xml += f"""  <obstacle id="1403">
+    <role>dynamic</role>
+    <type>car</type>
+    <shape>
+      <rectangle>
+        <length>4.5</length>
+        <width>1.9</width>
+      </rectangle>
+    </shape>
+    <initialState>
+      <position>
+        <point>
+          <x>{ox0:.6f}</x>
+          <y>{oy0:.6f}</y>
+        </point>
+      </position>
+      <orientation>
+        <exact>{th0:.6f}</exact>
+      </orientation>
+      <velocity>
+        <exact>{moving_v:.4f}</exact>
+      </velocity>
+      <time>
+        <exact>0</exact>
+      </time>
+    </initialState>
+    <trajectory>
+{''.join(states)}    </trajectory>
   </obstacle>
 """
 
@@ -172,12 +254,21 @@ def main():
                          "disables")
     ap.add_argument("--v0", type=float, default=18.0)
     ap.add_argument("--t-end", type=int, default=None)
+    ap.add_argument("--moving", type=float, default=None,
+                    help="add a slow lead vehicle (dynamic obstacle with a "
+                         "trajectory) at this fraction of the length")
+    ap.add_argument("--moving-v", type=float, default=6.0,
+                    help="lead vehicle speed [m/s]")
+    ap.add_argument("--moving-offset", type=float, default=-1.1,
+                    help="lead vehicle lateral offset from lane center [m] "
+                         "(negative = toward the curb)")
     args = ap.parse_args()
     bid = args.id or os.path.splitext(os.path.basename(args.out))[0]
     xml = make_scenario_xml(
         bid, length=args.length, curvature=args.curvature,
         obstacle_frac=None if args.obstacle < 0 else args.obstacle,
-        v0=args.v0, t_end=args.t_end)
+        v0=args.v0, t_end=args.t_end, moving_frac=args.moving,
+        moving_v=args.moving_v, moving_offset=args.moving_offset)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:
         f.write(xml)

@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mpc_tpu.ops import sqp as S
-from mpc_tpu.ops.ipqp import _S_FLOOR, _SIG_MAX, _WARM_KAPPA
+from mpc_tpu.ops.ipqp import _S_FLOOR, _WARM_KAPPA, _Z_MAX
 from mpc_tpu.ops.fused_gn import (
     LANE_TILE, NR, NU, NX, _LANES, _SUB, _assemble_quad, _cdiv,
     _compute_rows, _lin_step, _pack, _read_vec, _row_bounds, _row_values,
@@ -186,12 +186,12 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                 # the dz elimination's -z (see ipqp.ip_iteration)
                 if hi is not None:
                     rs_hi = shi[i] - (hi - cs[i])
-                    sg = jnp.minimum(zhi[i] / shi[i], _SIG_MAX)
+                    sg = zhi[i] / shi[i]
                     w_i = w_i + mu_b / shi[i] + sg * rs_hi
                     sig_i = sig_i + sg
                 if lo is not None:
                     rs_lo = slo[i] - (cs[i] - lo)
-                    sg = jnp.minimum(zlo[i] / slo[i], _SIG_MAX)
+                    sg = zlo[i] / slo[i]
                     w_i = w_i - mu_b / slo[i] - sg * rs_lo
                     sig_i = sig_i + sg
                 algr.append((w_i, sig_i))
@@ -458,7 +458,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                     for i, (lo, hi) in enumerate(bounds):
                         if lo is not None:
                             rs_lo = slo[i] - (cs[i] - lo)
-                            sg = jnp.minimum(zlo[i] / slo[i], _SIG_MAX)
+                            sg = zlo[i] / slo[i]
                             dsl = Jd[i] - rs_lo
                             dzl = mu_b / slo[i] - zlo[i] - sg * dsl
                             amin = ftb(slo[i], dsl, amin)
@@ -468,7 +468,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                             dzl = zero
                         if hi is not None:
                             rs_hi = shi[i] - (hi - cs[i])
-                            sg = jnp.minimum(zhi[i] / shi[i], _SIG_MAX)
+                            sg = zhi[i] / shi[i]
                             dsh = -Jd[i] - rs_hi
                             dzh = mu_b / shi[i] - zhi[i] - sg * dsh
                             amin = ftb(shi[i], dsh, amin)
@@ -510,7 +510,8 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                         if lo is not None:
                             sl = jnp.maximum(slo[i] + alpha * dslo[i],
                                              _S_FLOOR)
-                            zl = zlo[i] + alpha * dzlo[i]
+                            zl = jnp.minimum(zlo[i] + alpha * dzlo[i],
+                                             _Z_MAX)
                             gap = gap + sl * zl
                         else:
                             sl = jnp.ones_like(zero)
@@ -518,7 +519,8 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                         if hi is not None:
                             sh = jnp.maximum(shi[i] + alpha * dshi[i],
                                              _S_FLOOR)
-                            zh = zhi[i] + alpha * dzhi[i]
+                            zh = jnp.minimum(zhi[i] + alpha * dzhi[i],
+                                             _Z_MAX)
                             gap = gap + sh * zh
                         else:
                             sh = jnp.ones_like(zero)

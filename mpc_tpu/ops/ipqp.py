@@ -38,17 +38,20 @@ from mpc_tpu.ops import riccati
 NX = 5  # KS default; every kernel below derives the actual NX/NU from QpData
 NU = 2
 _WARM_KAPPA = 100.0  # warm-start dual clip band around the central path
-# float32 overflow guards (HPIPM-style iterate safeguards): the
-# fraction-to-boundary rule keeps slacks positive but lets them decay
-# multiplicatively ((1-tau)^k), so on a degenerate row s can underflow and
-# the row weight sigma = z/s (and the barrier force mu/s) overflow to inf
-# in f32 — one inf in J'SJ turns the whole Riccati sweep NaN and the NaN
-# then persists in the dual state (observed: 1 lane in 8 of the dryrun's
-# open-loop batch, MULTICHIP_r04 7/8 — VERDICT r4 item 7).  Flooring s and
-# capping sigma bounds the Newton system without touching converged paths
-# (central-path sigmas are <= ~1e6).
+# float32 overflow guards (HPIPM-style iterate safeguards): on a
+# degenerate row the dual can blow up super-exponentially (dz ~ -sigma*ds
+# grows z by sigma each step, and sigma = z/s feeds back), overflowing
+# sigma to inf in f32 — one inf in J'SJ turns the whole Riccati sweep NaN
+# and the NaN then persists in the dual state (observed: 1 lane in 8 of
+# the dryrun's open-loop batch, MULTICHIP_r04 7/8 — VERDICT r4 item 7).
+# Guards: floor slacks at _S_FLOOR and cap duals at _Z_MAX (the same 1e6
+# the AL path's lam_max soft-slack clamp uses), bounding sigma <= 1e16 —
+# safely inside f32 range while leaving ordinary iterates untouched
+# (converged active-row duals are O(1..1e4); capping sigma itself would
+# bind on ordinary rows, sigma = z^2/mu >= 1e8 whenever z >= 1 at
+# mu = 1e-8, and shift converged trajectories).
 _S_FLOOR = 1e-10
-_SIG_MAX = 1e8
+_Z_MAX = 1e6
 
 
 class QpData(NamedTuple):
@@ -162,8 +165,8 @@ def ip_iteration(qp: QpData, st: IpState, reg: float,
     rs_lo = jnp.where(m_lo, st.s_lo - (c - qp.lo), 0.0)
     rs_hi = jnp.where(m_hi, st.s_hi - (qp.hi - c), 0.0)
 
-    sig_lo = jnp.where(m_lo, jnp.minimum(st.z_lo / st.s_lo, _SIG_MAX), 0.0)
-    sig_hi = jnp.where(m_hi, jnp.minimum(st.z_hi / st.s_hi, _SIG_MAX), 0.0)
+    sig_lo = jnp.where(m_lo, st.z_lo / st.s_lo, 0.0)
+    sig_hi = jnp.where(m_hi, st.z_hi / st.s_hi, 0.0)
     sigma_rows = sig_lo + sig_hi                       # (H+1, NROWS)
 
     mu = st.mu
@@ -228,8 +231,10 @@ def ip_iteration(qp: QpData, st: IpState, reg: float,
                      1.0)
     s_hi = jnp.where(m_hi, jnp.maximum(st.s_hi + alpha * ds_hi, _S_FLOOR),
                      1.0)
-    z_lo = jnp.where(m_lo, st.z_lo + alpha * dz_lo, 0.0)
-    z_hi = jnp.where(m_hi, st.z_hi + alpha * dz_hi, 0.0)
+    z_lo = jnp.where(m_lo, jnp.minimum(st.z_lo + alpha * dz_lo, _Z_MAX),
+                     0.0)
+    z_hi = jnp.where(m_hi, jnp.minimum(st.z_hi + alpha * dz_hi, _Z_MAX),
+                     0.0)
 
     # barrier update from the average complementarity gap
     n_act = (jnp.sum(m_lo) + jnp.sum(m_hi)).astype(qp.A.dtype)

@@ -88,9 +88,11 @@ def run_bench_hard(batch: int, horizon: int = 30, n_steps: int = 100,
     ``maxqps=1`` semantics (optimizer.py:237, step applied with no merit
     test) — on the same closed-loop harness.  Budget (1x4 Newton,
     unguarded) is quality-pinned vs the 5x10 IP oracle in
-    BENCH_QUALITY.json (mm-scale agreement, 100% feasible steps on both
-    workloads; the budget-binding ca_stress workload needs the shipped
-    gate_stages=1 treatment — tools/bench_quality.py)."""
+    BENCH_QUALITY.json (TPU: mean tracking deviation within 3 mm — 1.374
+    vs 1.3706 m — max pointwise trajectory difference 0.14 m over 204800
+    solves, 100% feasible steps; on the budget-binding ca_stress workload
+    the same budget is 100% feasible with the shipped gate_stages=1
+    treatment — tools/bench_quality.py)."""
     from mpc_tpu.planner import closed_loop as cl
     from mpc_tpu.utils import synthetic
 

@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 from mpc_tpu.ops import sqp as S
 from mpc_tpu.ops.ipqp import _S_FLOOR, _WARM_KAPPA, _Z_MAX
 from mpc_tpu.ops.fused_gn import (
-    LANE_TILE, NR, NU, NX, _LANES, _SUB, _assemble_quad, _cdiv,
+    LANE_TILE, NR, NU, NX, _LANES, _Rows, _SUB, _assemble_quad, _cdiv,
     _compute_rows, _lin_step, _pack, _read_vec, _row_bounds, _row_values,
     _stage_cost_rows, _step_rows, _term_cost_rows, _unpack, make_consts)
 
@@ -128,7 +128,8 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                u_ref, zlo_ref, zhi_ref,
                X_ref, u_out, zlo_out, zhi_out, pviol_out, diag_ref,
                K_scr, dff_scr, dX_scr, dU_scr, ddX_scr, ddU_scr,
-               slo_scr, shi_scr, dslo_scr, dshi_scr, dzlo_scr, dzhi_scr):
+               slo_scr, shi_scr, dslo_scr, dshi_scr, dzlo_scr, dzhi_scr,
+               rows_scr, ab_scr):
         u_out[...] = u_ref[...]
         zlo_out[...] = zlo_ref[...]
         zhi_out[...] = zhi_ref[...]
@@ -171,6 +172,52 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
             r = _compute_rows(x, u, obs_at(k), consts, is_term,
                               k_is0=(k == 0), bnd=bnd_at(k))
             return x, u, r
+
+        # --- outer-iterate linearization cache ------------------------------
+        # The Newton loop evaluates rows (tan/cos/sin + 9 sqrt) and the
+        # RK4-chain (A, B) Jacobians at the OUTER iterate, which is FIXED
+        # across all ip_iters Newton steps (and across the bwd/fwd/steps
+        # sweeps within one).  Compute them ONCE per SQP relinearization
+        # into VMEM scratch; every consumer reads registers instead of
+        # redoing the transcendental-heavy chain.  Bit-identical math.
+        def cache_stage(k, is_term):
+            x, u, r = stage_ctx(k, is_term)
+            vals = [zero + r.h_f, zero + r.gf[0], zero + r.gf[1],
+                    zero + r.gf[2]]
+            for c in r.circ:
+                vals.extend(zero + ci for ci in c)
+            vals.extend(zero + bi for bi in r.box)
+            for b in r.bnd:
+                vals.extend(zero + bi for bi in b)
+            rows_scr[k] = jnp.stack(vals)
+            if not is_term:
+                A, Bm = lin_f(x, u)
+                ab = [zero + A[i][j] for i in range(nxk)
+                      for j in range(nxk)]
+                ab += [zero + Bm[i][j] for i in range(nxk)
+                       for j in range(NU)]
+                ab_scr[k] = jnp.stack(ab)
+            return 0
+
+        def cached_rows(k):
+            v = rows_scr[k]
+            r = _Rows()
+            r.h_f = v[0]
+            r.gf = (v[1], v[2], v[3])
+            r.circ = [(v[4 + 4 * i], v[5 + 4 * i], v[6 + 4 * i],
+                       v[7 + 4 * i]) for i in range(9)]
+            r.box = (v[40], v[41], v[42], v[43])
+            r.bnd = ([(v[44 + 4 * i], v[45 + 4 * i], v[46 + 4 * i],
+                       v[47 + 4 * i]) for i in range(6)]
+                     if consts["boundary"] else [])
+            return r
+
+        def cached_ab(k):
+            v = ab_scr[k]
+            A = [[v[i * nxk + j] for j in range(nxk)] for i in range(nxk)]
+            Bm = [[v[nxk * nxk + i * NU + j] for j in range(NU)]
+                  for i in range(nxk)]
+            return A, Bm
 
         def ip_weights(r, bounds, dXk, dUk, slo, shi, zlo, zhi, mu_b):
             """(algr, cs): per-row (w_rows, sigma_rows) + linearized values.
@@ -265,9 +312,13 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
         # all solver state lives in refs, so the relinearization loop rolls
         # into one fori_loop (no unrolling: ~ip_sqp_iters x faster compiles)
         def sqp_body(_sqp_i, _c):
+            # --- cache rows + (A, B) at the current linearization point ----
+            jax.lax.fori_loop(0, H, lambda k, _: cache_stage(k, False), 0)
+            cache_stage(H, True)
+
             # --- init IP state at the current linearization point ----------
             def init_stage(k, bounds, is_term, warm):
-                _, _, r = stage_ctx(k, is_term)
+                r = cached_rows(k)
                 cs = _row_values(r)
                 slo_n, shi_n, zlo_n, zhi_n = [], [], [], []
                 for i, (lo, hi) in enumerate(bounds):
@@ -321,7 +372,8 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
             # --- Newton iterations (fixed count, barrier in the carry) ------
             def newton_body(_it, mu_b):
                 # terminal quadratic with IP weights
-                xT, _, rT = stage_ctx(H, True)
+                xT = _read_vec(X_ref, H, nxk)
+                rT = cached_rows(H)
                 dXT = _read_vec(dX_scr, H, nxk)
                 algT, _ = ip_weights(
                     rT, bounds_T, dXT, zero_u,
@@ -341,7 +393,9 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                     k = H - 1 - j
                     Pl = [[P[i, j2] for j2 in range(nxk)] for i in range(nxk)]
                     pl_ = [p[i] for i in range(nxk)]
-                    x, u, r = stage_ctx(k, False)
+                    x = _read_vec(X_ref, k, nxk)
+                    u = _read_vec(u_out, k, NU)
+                    r = cached_rows(k)
                     dXk = _read_vec(dX_scr, k, nxk)
                     dUk = _read_vec(dU_scr, k, NU)
                     algr, _ = ip_weights(
@@ -354,7 +408,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                     Q, R, M, qx, qu = _assemble_quad(
                         r, algr, x_c, u_c, _read_vec(xref_ref, k, nxk),
                         wq, wr, False)
-                    A, Bm = lin_f(x, u)
+                    A, Bm = cached_ab(k)
 
                     At = [[A[i][j2] for i in range(nxk)] for j2 in range(nxk)]
                     Bt = [[Bm[i][j2] for i in range(nxk)] for j2 in range(NU)]
@@ -421,8 +475,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                                        for j2 in range(nxk))
                            for i in range(NU)]
                     ddU_scr[k] = jnp.stack(ddu)
-                    x, u, _ = stage_ctx(k, False)
-                    A, Bm = lin_f(x, u)
+                    A, Bm = cached_ab(k)
                     nxt = [sum(A[i][j2] * ddxl[j2] for j2 in range(nxk))
                            + sum(Bm[i][j2] * ddu[j2] for j2 in range(NU))
                            for i in range(nxk)]
@@ -434,7 +487,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
 
                 # slack/dual steps + fraction-to-boundary ratios
                 def steps_stage(k, bounds, is_term, amin):
-                    _, _, r = stage_ctx(k, is_term)
+                    r = cached_rows(k)
                     dXk = _read_vec(dX_scr, k, nxk)
                     dUk = zero_u if is_term else _read_vec(dU_scr, k, NU)
                     ddXk = _read_vec(ddX_scr, k, nxk)
@@ -707,6 +760,10 @@ def _solve_ip_packed(cfg, x0p, xrefp, obsp, mindp, wp, bndp, Up, zlp, zhp,
             pltpu.VMEM((H, NU, _SUB, _LANES), dtype),        # ddU
             nr_scr(), nr_scr(),                              # s_lo, s_hi
             nr_scr(), nr_scr(), nr_scr(), nr_scr(),          # ds/dz lo/hi
+            # outer-iterate linearization cache: packed rows + (A, B)
+            pltpu.VMEM((H + 1, 44 + (24 if cfg.boundary_rows else 0),
+                        _SUB, _LANES), dtype),
+            pltpu.VMEM((H, nx * (nx + NU), _SUB, _LANES), dtype),
         ],
         input_output_aliases={6: 1, 7: 2, 8: 3},
         compiler_params=pltpu.CompilerParams(

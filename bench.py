@@ -32,20 +32,21 @@ def run_bench(batch: int = 1024, horizon: int = 30, n_steps: int = 100,
     from mpc_tpu.utils import synthetic
 
     # True-RTI operating point (al_iters=1, sqp_iters=1 = ONE warm-started
-    # Gauss-Newton iteration per closed-loop solve, applied as the full
-    # RTI step when it improves the AL merit — alphas=(1.0,)) with
-    # full-strength cold-start warmup: the direct counterpart of the
-    # reference FORCESPRO deployment's 1 QP per step (``maxqps=1``,
-    # optimizer.py:237 — which applies its step UNCONDITIONALLY).  On this
-    # workload it is 100% feasible over 1.6M solves with realized
-    # trajectories within 0.7 mm of the full-ladder run and tracking
-    # identical to the (3, 4) oracle budget (BENCH_QUALITY.json,
-    # tools/bench_quality.py).  n_steps=100 amortizes the axon relay's
-    # ~150-300 ms per-dispatch round trip (one dispatch runs the whole
-    # scan chain); the per-step device time is what solves/s measures.
+    # Gauss-Newton iteration per closed-loop solve, applied as the
+    # UNGUARDED full RTI step — alphas=(), the reference FORCESPRO
+    # deployment's exact 1-QP-per-step semantics: ``maxqps=1``,
+    # optimizer.py:237, step applied with NO merit test) with
+    # full-strength cold-start warmup.  On this workload it is 100%
+    # feasible over 1.6M solves with trajectories identical to the
+    # merit-guarded variant and within 0.5 mm of the (3, 4) oracle budget
+    # (BENCH_QUALITY.json, tools/bench_quality.py;
+    # tests/test_robustness.py pins both variants).  n_steps=100
+    # amortizes the axon relay's ~150-300 ms per-dispatch round trip (one
+    # dispatch runs the whole scan chain); the per-step device time is
+    # what solves/s measures.
     lcfg, params = synthetic.make_bench_loop(
         n_steps=n_steps, horizon=horizon, n_lanes=batch, method="al",
-        al_iters=1, sqp_iters=1, alphas=(1.0,))
+        al_iters=1, sqp_iters=1, alphas=())
 
     import functools
 

@@ -838,7 +838,8 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
     def kernel(x0_ref, xref_ref, obs_ref, mind_ref, w_ref, bnd_ref,
                u_ref, lamlo_ref, lamhi_ref, mu_ref, pviol_ref,
                X_ref, u_out, lamlo_out, lamhi_out, mu_out, pviol_out,
-               diag_ref, K_scr, d_scr):
+               diag_ref, K_scr, d_scr, Xb_scr, Ub_scr, Xt_scr, Ut_scr,
+               rows_scr):
         # The warm-start state is carried in the OUTPUT refs (HBM-aliased to
         # the inputs).  In the compiled pipeline output VMEM windows are NOT
         # pre-loaded with the aliased buffer's contents (only the interpreter
@@ -898,6 +899,32 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
                 c = _stage_cost_rows(x, u_eff, xref_k, wq, wr)
             return c + psi
 
+        # packed per-stage rows cache (multiplier update -> diagnostics
+        # handoff; same layout as the fused IP kernel's cache)
+        def pack_rows(r):
+            zero = jnp.zeros_like(x0[0])
+            vals = [zero + r.h_f, zero + r.gf[0], zero + r.gf[1],
+                    zero + r.gf[2]]
+            for c in r.circ:
+                vals.extend(zero + ci for ci in c)
+            vals.extend(zero + bi for bi in r.box)
+            for b in r.bnd:
+                vals.extend(zero + bi for bi in b)
+            return jnp.stack(vals)
+
+        def cached_rows(k):
+            v = rows_scr[k]
+            r = _Rows()
+            r.h_f = v[0]
+            r.gf = (v[1], v[2], v[3])
+            r.circ = [(v[4 + 4 * i], v[5 + 4 * i], v[6 + 4 * i],
+                       v[7 + 4 * i]) for i in range(9)]
+            r.box = (v[40], v[41], v[42], v[43])
+            r.bnd = ([(v[44 + 4 * i], v[45 + 4 * i], v[46 + 4 * i],
+                       v[47 + 4 * i]) for i in range(6)]
+                     if consts["boundary"] else [])
+            return r
+
         # --- initial rollout: X <- rollout(x0, U) ---------------------------
         def roll_body(k, x):
             X_ref[k] = jnp.stack(x)
@@ -910,13 +937,17 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
 
         zero_alpha = jnp.zeros_like(x0[0])
 
-        def feedback_rollout(alpha, write: bool):
+        def feedback_rollout(alpha, store):
             """Rollout u = clip(ub + alpha d + K (x - xb)); returns merit.
 
-            alpha: (8,128) per-lane step size.  write=True stores the new
-            (X, U) into the refs (done AFTER merit rollouts so reads of
-            X_ref/u_out inside this function see the OLD trajectory).
+            alpha: (8,128) per-lane step size.  store=(X_scr, U_scr)
+            records the trial chain into scratch while the merit
+            accumulates, so the ladder winner is COMMITTED by a masked
+            copy instead of a third full rollout (reads of X_ref/u_out
+            inside this function see the OLD trajectory either way).
             """
+            Xs, Us = store
+
             def body(k, carry):
                 x, acc = carry
                 xl = [x[i] for i in range(nxk)]
@@ -932,9 +963,8 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
                 u = clip_u(u)
                 acc = acc + stage_merit(xl, u, k, is_term=False)
                 x_next = step_f(xl, u)
-                if write:
-                    X_ref[k] = jnp.stack(xl)
-                    u_out[k] = jnp.stack(u)
+                Xs[k] = jnp.stack(xl)
+                Us[k] = jnp.stack(u)
                 return (jnp.stack(x_next), acc)
 
             xH2, acc = jax.lax.fori_loop(
@@ -942,8 +972,7 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
             xHl = [xH2[i] for i in range(nxk)]
             acc = acc + stage_merit(xHl, [zero_alpha, zero_alpha], H,
                                     is_term=True)
-            if write:
-                X_ref[H] = xH2
+            Xs[H] = xH2
             return acc
 
         # --- AL-SQP iterations ----------------------------------------------
@@ -1034,17 +1063,77 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
                 p0 = jnp.stack(qH)
                 jax.lax.fori_loop(0, H, bwd_body, (P0, p0))
 
-                # line-search ladder: merit-only rollouts, keep best alpha
-                # (alpha=0 reproduces the current iterate exactly)
+                if len(cfg.alphas) == 0:
+                    # unguarded full RTI step (reference maxqps=1
+                    # semantics; mirrors ip_alphas=() and the vmapped
+                    # paths' alphas=() branches): scrub NaN/inf gains to
+                    # 0, roll the alpha=1 feedback chain straight into
+                    # the refs — no merit accumulation at all.
+                    def scrub_body(k, _):
+                        d = d_scr[k]
+                        d_scr[k] = jnp.where(jnp.isfinite(d), d, 0.0)
+                        Kk = K_scr[k]
+                        K_scr[k] = jnp.where(jnp.isfinite(Kk), Kk, 0.0)
+                        return 0
+
+                    jax.lax.fori_loop(0, H, scrub_body, 0)
+
+                    def ug_body(k, x):
+                        xl = [x[i] for i in range(nxk)]
+                        xb = _read_vec(X_ref, k, nxk)
+                        ub = _read_vec(u_out, k, NU)
+                        Kk = _read_vec(K_scr, k, NU * nxk)
+                        dk = _read_vec(d_scr, k, NU)
+                        dxb = [xl[i] - xb[i] for i in range(nxk)]
+                        u = []
+                        for i in range(NU):
+                            fb = sum(Kk[i * nxk + j] * dxb[j]
+                                     for j in range(nxk))
+                            u.append(ub[i] + dk[i] + fb)
+                        u = clip_u(u)
+                        X_ref[k] = jnp.stack(xl)
+                        u_out[k] = jnp.stack(u)
+                        return jnp.stack(step_f(xl, u))
+
+                    xU = jax.lax.fori_loop(0, H, lambda k, xs: ug_body(
+                        k, [xs[i] for i in range(nxk)]), jnp.stack(x0))
+                    X_ref[H] = xU
+                    continue
+
+                # line-search ladder: each trial records its chain into
+                # scratch; per-lane winner selection is a masked VMEM copy
+                # (the per-lane mixed-alpha chain of the old write rollout
+                # is lanewise identical to the uniform-alpha trial chain,
+                # so this is bit-exact and one full rollout cheaper).
+                # alpha=0 reproduces the current iterate exactly.
                 ones = jnp.ones_like(zero_alpha)
-                best_m = feedback_rollout(zero_alpha, write=False)
-                best_a = zero_alpha
+                best_m = feedback_rollout(zero_alpha, (Xb_scr, Ub_scr))
                 for a_val in cfg.alphas:
-                    m_a = feedback_rollout(a_val * ones, write=False)
+                    m_a = feedback_rollout(a_val * ones, (Xt_scr, Ut_scr))
                     take = m_a < best_m
                     best_m = jnp.where(take, m_a, best_m)
-                    best_a = jnp.where(take, a_val * ones, best_a)
-                feedback_rollout(best_a, write=True)
+
+                    def selx_body(k, _):
+                        Xb_scr[k] = jnp.where(take, Xt_scr[k], Xb_scr[k])
+                        return 0
+
+                    def selu_body(k, _):
+                        Ub_scr[k] = jnp.where(take, Ut_scr[k], Ub_scr[k])
+                        return 0
+
+                    jax.lax.fori_loop(0, H + 1, selx_body, 0)
+                    jax.lax.fori_loop(0, H, selu_body, 0)
+
+                def commit_body(k, _):
+                    X_ref[k] = Xb_scr[k]
+                    return 0
+
+                def commitu_body(k, _):
+                    u_out[k] = Ub_scr[k]
+                    return 0
+
+                jax.lax.fori_loop(0, H + 1, commit_body, 0)
+                jax.lax.fori_loop(0, H, commitu_body, 0)
 
             # --- multiplier / penalty update (all stages) -------------------
             def upd_body(k, _):
@@ -1056,6 +1145,11 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
                 pv = _read_vec(pviol_out, k, nr)
                 r = _compute_rows(x, u_eff, obs_at(k), consts, False,
                                   k_is0=(k == 0), bnd=bnd_at(k))
+                # hand the rows at the (final) iterate to the diagnostics
+                # pass (identical values/gradients: u_eff masks the
+                # terminal inputs to 0, so g_a = 2a = 0 matches the
+                # is_term zeroing bit-for-bit)
+                rows_scr[k] = pack_rows(r)
                 # terminal: friction uses a=0 (u_eff), box u rows unbounded
                 hs = _row_values(r)
                 new_lo, new_hi, new_mu, new_viol = [], [], [], []
@@ -1105,8 +1199,13 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
         # lam_k = qx + A' lam_{k+1}
         xT = _read_vec(X_ref, H, nxk)
         xrefT, lam_loT, lam_hiT, muT = stage_refs(H)
-        rT = _compute_rows(xT, [zero_alpha, zero_alpha], obs_at(H),
-                           consts, True, k_is0=False, bnd=bnd_at(H))
+        # the multiplier update just cached the rows at this same iterate
+        # (al_iters >= 1 always; compute fresh otherwise for safety)
+        if cfg.al_iters >= 1:
+            rT = cached_rows(H)
+        else:
+            rT = _compute_rows(xT, [zero_alpha, zero_alpha], obs_at(H),
+                               consts, True, k_is0=False, bnd=bnd_at(H))
         algrT = _row_al_grads(rT, bounds_T, lam_loT, lam_hiT, muT)
         QHd, qHd = _assemble_quad(rT, algrT, xT, [zero_alpha, zero_alpha],
                                   xrefT, wq, wr, True, wqN,
@@ -1129,8 +1228,9 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
             x = _read_vec(X_ref, k, nxk)
             u = _read_vec(u_out, k, NU)
             xref_k, lam_lo, lam_hi, mu = stage_refs(k)
-            r = _compute_rows(x, u, obs_at(k), consts, False,
-                              k_is0=(k == 0), bnd=bnd_at(k))
+            r = (cached_rows(k) if cfg.al_iters >= 1 else
+                 _compute_rows(x, u, obs_at(k), consts, False,
+                               k_is0=(k == 0), bnd=bnd_at(k)))
             algr = _row_al_grads(r, bounds_k, lam_lo, lam_hi, mu)
             _, _, _, qx, qu = _assemble_quad(r, algr, x, u, xref_k, wq, wr,
                                              False)
@@ -1235,6 +1335,14 @@ def _solve_packed(cfg, x0p, xrefp, obsp, mindp, wp, bndp, Up, llp, lhp,
         scratch_shapes=[
             pltpu.VMEM((H, NU * nx, _SUB, _LANES), dtype),   # K
             pltpu.VMEM((H, NU, _SUB, _LANES), dtype),        # d
+            # line-search trial chains (best + current trial)
+            pltpu.VMEM((H + 1, nx, _SUB, _LANES), dtype),    # X best
+            pltpu.VMEM((H, NU, _SUB, _LANES), dtype),        # U best
+            pltpu.VMEM((H + 1, nx, _SUB, _LANES), dtype),    # X trial
+            pltpu.VMEM((H, NU, _SUB, _LANES), dtype),        # U trial
+            # rows cache: multiplier update -> diagnostics handoff
+            pltpu.VMEM((H + 1, 44 + (24 if cfg.boundary_rows else 0),
+                        _SUB, _LANES), dtype),
         ],
         input_output_aliases={6: 1, 7: 2, 8: 3, 9: 4, 10: 5},
         # whole-solve state is VMEM-resident: ~10 MB of blocks per tile plus

@@ -165,23 +165,16 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
             return [jnp.clip(u[i], u_clip[0][i], u_clip[1][i])
                     for i in range(NU)]
 
-        def stage_ctx(k, is_term):
-            """Rows + linearization context at the OUTER iterate (X, U)."""
-            x = _read_vec(X_ref, k, nxk)
-            u = zero_u if is_term else _read_vec(u_out, k, NU)
-            r = _compute_rows(x, u, obs_at(k), consts, is_term,
-                              k_is0=(k == 0), bnd=bnd_at(k))
-            return x, u, r
-
         # --- outer-iterate linearization cache ------------------------------
         # The Newton loop evaluates rows (tan/cos/sin + 9 sqrt) and the
         # RK4-chain (A, B) Jacobians at the OUTER iterate, which is FIXED
         # across all ip_iters Newton steps (and across the bwd/fwd/steps
-        # sweeps within one).  Compute them ONCE per SQP relinearization
-        # into VMEM scratch; every consumer reads registers instead of
+        # sweeps within one).  Rows are stored by whichever rollout wrote
+        # the trajectory (the initial rollout or the merit write pass);
+        # the (A, B) Jacobians get one dedicated pass per SQP
+        # relinearization.  Every consumer reads registers instead of
         # redoing the transcendental-heavy chain.  Bit-identical math.
-        def cache_stage(k, is_term):
-            x, u, r = stage_ctx(k, is_term)
+        def store_rows(k, r):
             vals = [zero + r.h_f, zero + r.gf[0], zero + r.gf[1],
                     zero + r.gf[2]]
             for c in r.circ:
@@ -190,13 +183,14 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
             for b in r.bnd:
                 vals.extend(zero + bi for bi in b)
             rows_scr[k] = jnp.stack(vals)
-            if not is_term:
-                A, Bm = lin_f(x, u)
-                ab = [zero + A[i][j] for i in range(nxk)
-                      for j in range(nxk)]
-                ab += [zero + Bm[i][j] for i in range(nxk)
-                       for j in range(NU)]
-                ab_scr[k] = jnp.stack(ab)
+
+        def cache_ab(k):
+            x = _read_vec(X_ref, k, nxk)
+            u = _read_vec(u_out, k, NU)
+            A, Bm = lin_f(x, u)
+            ab = [zero + A[i][j] for i in range(nxk) for j in range(nxk)]
+            ab += [zero + Bm[i][j] for i in range(nxk) for j in range(NU)]
+            ab_scr[k] = jnp.stack(ab)
             return 0
 
         def cached_rows(k):
@@ -244,15 +238,20 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                 algr.append((w_i, sig_i))
             return algr, cs
 
-        # --- initial rollout: X <- rollout(x0, U) ---------------------------
+        # --- initial rollout: X <- rollout(x0, U); rows cached en route -----
         def roll_body(k, x):
             X_ref[k] = jnp.stack(x)
             u = _read_vec(u_out, k, NU)
+            store_rows(k, _compute_rows(x, u, obs_at(k), consts, False,
+                                        k_is0=(k == 0), bnd=bnd_at(k)))
             return jnp.stack(step_f(x, u))
 
         xH = jax.lax.fori_loop(0, H, lambda k, xs: roll_body(
             k, [xs[i] for i in range(nxk)]), jnp.stack(x0))
         X_ref[H] = xH
+        store_rows(H, _compute_rows([xH[i] for i in range(nxk)], zero_u,
+                                    obs_at(H), consts, True, k_is0=False,
+                                    bnd=bnd_at(H)))
 
         def penalty_merit_rollout(alpha, write: bool):
             """phi(alpha) = objective + rho * viol of rollout(clip(U + a dU)).
@@ -269,6 +268,8 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                 u = clip_u([ub[i] + alpha * dk[i] for i in range(NU)])
                 r = _compute_rows(xl, u, obs_at(k), consts, False,
                                   k_is0=(k == 0), bnd=bnd_at(k))
+                if write:
+                    store_rows(k, r)
                 hs = _row_values(r)
                 v = zero
                 for i, (lo, hi) in enumerate(bounds_k):
@@ -289,6 +290,8 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
             xT = [xH2[i] for i in range(nxk)]
             rT = _compute_rows(xT, zero_u, obs_at(H), consts, True,
                                k_is0=False, bnd=bnd_at(H))
+            if write:
+                store_rows(H, rT)
             hsT = _row_values(rT)
             vT = zero
             for i, (lo, hi) in enumerate(bounds_T):
@@ -312,9 +315,10 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
         # all solver state lives in refs, so the relinearization loop rolls
         # into one fori_loop (no unrolling: ~ip_sqp_iters x faster compiles)
         def sqp_body(_sqp_i, _c):
-            # --- cache rows + (A, B) at the current linearization point ----
-            jax.lax.fori_loop(0, H, lambda k, _: cache_stage(k, False), 0)
-            cache_stage(H, True)
+            # --- cache (A, B) at the current linearization point (rows are
+            # already in rows_scr: the rollout that produced the current
+            # trajectory stored them) --------------------------------------
+            jax.lax.fori_loop(0, H, lambda k, _: cache_ab(k), 0)
 
             # --- init IP state at the current linearization point ----------
             def init_stage(k, bounds, is_term, warm):
@@ -626,8 +630,11 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
 
         # ==== diagnostics ===================================================
         # viol rows + max, cost, Lagrangian stationarity with the final QP
-        # duals lam = z_hi - z_lo (sqp._solve_ip:642-661 semantics)
-        xT, _, rT = stage_ctx(H, True)
+        # duals lam = z_hi - z_lo (sqp._solve_ip:642-661 semantics).  Rows
+        # at the final iterate come from the cache: the merit write pass
+        # (or, at ip_sqp_iters=0, the initial rollout) stored them.
+        xT = _read_vec(X_ref, H, nxk)
+        rT = cached_rows(H)
         xrefT = _read_vec(xref_ref, H, nxk)
         lamT_rows = [zhi_out[H][i] - zlo_out[H][i] for i in range(nr)]
         algT = [(lamT_rows[i], zero) for i in range(nr)]
@@ -653,7 +660,9 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
             lam, stat, viol, cost = carry
             k = H - 1 - j
             laml = [lam[i] for i in range(nxk)]
-            x, u, r = stage_ctx(k, False)
+            x = _read_vec(X_ref, k, nxk)
+            u = _read_vec(u_out, k, NU)
+            r = cached_rows(k)
             xref_k = _read_vec(xref_ref, k, nxk)
             lam_rows = [zhi_out[k][i] - zlo_out[k][i] for i in range(nr)]
             algr = [(lam_rows[i], zero) for i in range(nr)]

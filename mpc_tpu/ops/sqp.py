@@ -564,6 +564,17 @@ def _gn_iteration(cfg: SolverConfig, params: OcpParams, lam_lo, lam_hi, mu,
     else:
         gains = riccati.backward_pass(quad, QH, qH, dyn, cfg.reg)
 
+    if len(cfg.alphas) == 0:
+        # unguarded full RTI step (reference maxqps=1 semantics — step
+        # applied with NO merit test, optimizer.py:237, 326-342; mirrors
+        # ``ip_alphas=()``).  NaN/inf gains are scrubbed to 0 like the IP
+        # path's dU direction.
+        K = jnp.nan_to_num(gains.K, nan=0.0, posinf=0.0, neginf=0.0)
+        d = jnp.nan_to_num(gains.d, nan=0.0, posinf=0.0, neginf=0.0)
+        Xa, Ua = _feedback_rollout(cfg, params.x0, X, U, K, d,
+                                   jnp.asarray(1.0, X.dtype))
+        return Xa, Ua, _merit(cfg, Xa, Ua, params, lam_lo, lam_hi, mu)
+
     alphas = jnp.array(cfg.alphas, dtype=X.dtype)
 
     def try_alpha(a):

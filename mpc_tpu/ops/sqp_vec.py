@@ -28,6 +28,16 @@ def _gn_iteration_vec(cfg: S.SolverConfig, params: S.OcpParams,
     gains = riccati_vec.backward_pass_vec(quad, QH, qH, dyn, cfg.reg)
 
     u_lo, u_hi, _, _ = cfg.bounds.as_arrays(X.dtype)
+    if len(cfg.alphas) == 0:
+        # unguarded full RTI step (maxqps=1 semantics; mirrors sqp.py's
+        # ``alphas=()`` branch): scrub NaN gains, apply alpha=1
+        # unconditionally, no merit rollouts
+        K = jnp.nan_to_num(gains.K, nan=0.0, posinf=0.0, neginf=0.0)
+        d = jnp.nan_to_num(gains.d, nan=0.0, posinf=0.0, neginf=0.0)
+        Xa, Ua = riccati_vec.feedback_rollout_vec(
+            None, cfg.dt, cfg.wheelbase, params.x0, X, U, K, d,
+            (1.0,), u_lo, u_hi, cfg.integrator, cfg.model, cfg.vehicle)
+        return Xa[0], Ua[0]
     Xa, Ua = riccati_vec.feedback_rollout_vec(
         None, cfg.dt, cfg.wheelbase, params.x0, X, U, gains.K, gains.d,
         cfg.alphas, u_lo, u_hi, cfg.integrator, cfg.model, cfg.vehicle)

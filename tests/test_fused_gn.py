@@ -176,3 +176,30 @@ def test_fused_fallback_on_ineligible():
     assert not fused_gn.eligible(cfg, params)
     sol = fused_gn.solve_batch_fused(cfg, params, state)
     assert sol.U.shape == (B, H, 2)
+
+
+def test_fused_unguarded_rti_matches_reference():
+    """``alphas=()`` (unguarded full RTI step, the reference deployment's
+    maxqps=1 semantics — step applied with NO merit test,
+    ``/root/reference/MPC_Planner/optimizer.py:237, 326-342``) agrees
+    across the fused kernel, the lanes-trailing vec path, and the vmapped
+    per-lane reference path."""
+    H, B = 12, 4
+    cfg = sqp.SolverConfig(horizon=H, sqp_iters=2, al_iters=2, alphas=())
+    p = straight_params(H, v=16.0)
+    p = p._replace(x0=p.x0.at[3].set(14.0),
+                   obs_centers=jnp.array([[10.0, -1.6]] * 3))
+    params = _batchify(p, B)
+    state = jax.vmap(lambda _: sqp.init_state(cfg))(jnp.arange(B))
+
+    ref = sqp.solve_batch(cfg, params, state)
+    vec = sqp_vec.solve_batch_vec(cfg, params, state)
+    got = fused_gn.solve_batch_fused(cfg, params, state, interpret=True)
+
+    for other in (vec, got):
+        np.testing.assert_allclose(np.asarray(other.U), np.asarray(ref.U),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(other.X), np.asarray(ref.X),
+                                   rtol=2e-3, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(other.viol),
+                                   np.asarray(ref.viol), atol=1e-3)

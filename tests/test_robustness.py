@@ -69,12 +69,15 @@ def test_deep_horizon_batch_fully_feasible():
     assert float(viol.max()) < 0.05
 
 
-def test_bench_operating_point_quality():
-    """The bench's true-RTI operating point — al(1,1) with the
-    merit-guarded full step (alphas=(1.0,)) — must match the (3,4) oracle
-    budget closely on the bench workload and stay fully feasible
-    (bench.py's headline is only meaningful with this property; the TPU
-    fused-engine version is evidenced in BENCH_QUALITY.json)."""
+@pytest.mark.parametrize("alphas", [(1.0,), ()])
+def test_bench_operating_point_quality(alphas):
+    """The bench's true-RTI operating point — al(1,1), headlined with the
+    UNGUARDED full step (alphas=(), the reference deployment's maxqps=1
+    semantics) and also checked with the merit-guarded variant
+    (alphas=(1.0,)) — must match the (3,4) oracle budget closely on the
+    bench workload and stay fully feasible (bench.py's headline is only
+    meaningful with this property; the TPU fused-engine version is
+    evidenced in BENCH_QUALITY.json)."""
     import numpy as np
 
     from mpc_tpu.planner import closed_loop as cl
@@ -87,7 +90,7 @@ def test_bench_operating_point_quality():
     B, T, H = 16, 20, 30
     lcfg_rti, params = synthetic.make_bench_loop(
         n_steps=T, horizon=H, n_lanes=B, method="al",
-        al_iters=1, sqp_iters=1, alphas=(1.0,))
+        al_iters=1, sqp_iters=1, alphas=alphas)
     lcfg_oracle, _ = synthetic.make_bench_loop(
         n_steps=T, horizon=H, n_lanes=B, method="al",
         al_iters=3, sqp_iters=4)

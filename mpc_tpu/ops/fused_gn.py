@@ -925,15 +925,25 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
                      if consts["boundary"] else [])
             return r
 
-        # --- initial rollout: X <- rollout(x0, U) ---------------------------
+        # --- initial rollout: X <- rollout(x0, U); rows cached en route
+        # (the first GN iteration of each AL iteration reads them — at
+        # _ai = 0 from here, at _ai >= 1 from the multiplier update's
+        # store, since the iterate does not move between the two) --------
         def roll_body(k, x):
             X_ref[k] = jnp.stack(x)
             u = _read_vec(u_out, k, NU)
+            rows_scr[k] = pack_rows(
+                _compute_rows(x, u, obs_at(k), consts, False,
+                              k_is0=(k == 0), bnd=bnd_at(k)))
             return jnp.stack(step_f(x, u))
 
         xH = jax.lax.fori_loop(0, H, lambda k, xs: roll_body(
             k, [xs[i] for i in range(nxk)]), jnp.stack(x0))
         X_ref[H] = xH
+        rows_scr[H] = pack_rows(
+            _compute_rows([xH[i] for i in range(nxk)],
+                          [jnp.zeros_like(x0[0])] * NU, obs_at(H), consts,
+                          True, k_is0=False, bnd=bnd_at(H)))
 
         zero_alpha = jnp.zeros_like(x0[0])
 
@@ -978,12 +988,19 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
         # --- AL-SQP iterations ----------------------------------------------
         for _ai in range(cfg.al_iters):
             for _si in range(cfg.sqp_iters):
+                # the first GN iteration of each AL iteration runs at an
+                # iterate whose rows are already cached (initial rollout
+                # at _ai=0, the multiplier update's store at _ai>=1 — the
+                # line-search commit is what moves the iterate, so later
+                # _si recompute)
+                rows_cached = _si == 0
                 # backward sweep (terminal quad + reverse stage recursion)
                 xT = _read_vec(X_ref, H, nxk)
                 xrefT, lam_loT, lam_hiT, muT = stage_refs(H)
-                rT = _compute_rows(xT, [zero_alpha, zero_alpha],
-                                   obs_at(H), consts, True, k_is0=False,
-                                   bnd=bnd_at(H))
+                rT = (cached_rows(H) if rows_cached else
+                      _compute_rows(xT, [zero_alpha, zero_alpha],
+                                    obs_at(H), consts, True, k_is0=False,
+                                    bnd=bnd_at(H)))
                 algrT = _row_al_grads(rT, bounds_T, lam_loT, lam_hiT, muT)
                 QH, qH = _assemble_quad(rT, algrT, xT,
                                         [zero_alpha, zero_alpha], xrefT,
@@ -998,8 +1015,9 @@ def _make_kernel(cfg: S.SolverConfig, H: int, moving: bool = False):
                     x = _read_vec(X_ref, k, nxk)
                     u = _read_vec(u_out, k, NU)
                     xref_k, lam_lo, lam_hi, mu = stage_refs(k)
-                    r = _compute_rows(x, u, obs_at(k), consts, False,
-                                      k_is0=(k == 0), bnd=bnd_at(k))
+                    r = (cached_rows(k) if rows_cached else
+                         _compute_rows(x, u, obs_at(k), consts, False,
+                                       k_is0=(k == 0), bnd=bnd_at(k)))
                     algr = _row_al_grads(r, bounds_k, lam_lo, lam_hi, mu)
                     Q, R, M, qx, qu = _assemble_quad(
                         r, algr, x, u, xref_k, wq, wr, False)

@@ -184,15 +184,6 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                 vals.extend(zero + bi for bi in b)
             rows_scr[k] = jnp.stack(vals)
 
-        def cache_ab(k):
-            x = _read_vec(X_ref, k, nxk)
-            u = _read_vec(u_out, k, NU)
-            A, Bm = lin_f(x, u)
-            ab = [zero + A[i][j] for i in range(nxk) for j in range(nxk)]
-            ab += [zero + Bm[i][j] for i in range(nxk) for j in range(NU)]
-            ab_scr[k] = jnp.stack(ab)
-            return 0
-
         def cached_rows(k):
             v = rows_scr[k]
             r = _Rows()
@@ -317,8 +308,8 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
         def sqp_body(_sqp_i, _c):
             # --- cache (A, B) at the current linearization point (rows are
             # already in rows_scr: the rollout that produced the current
-            # trajectory stored them) --------------------------------------
-            jax.lax.fori_loop(0, H, lambda k, _: cache_ab(k), 0)
+            # trajectory stored them; (A, B) is filled by the FIRST Newton
+            # iteration's backward sweep, which walks every stage anyway) --
 
             # --- init IP state at the current linearization point ----------
             def init_stage(k, bounds, is_term, warm):
@@ -374,7 +365,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
             init_stage(H, bounds_T, True, warm)
 
             # --- Newton iterations (fixed count, barrier in the carry) ------
-            def newton_body(_it, mu_b):
+            def newton_impl(mu_b, fill_ab):
                 # terminal quadratic with IP weights
                 xT = _read_vec(X_ref, H, nxk)
                 rT = cached_rows(H)
@@ -412,7 +403,15 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                     Q, R, M, qx, qu = _assemble_quad(
                         r, algr, x_c, u_c, _read_vec(xref_ref, k, nxk),
                         wq, wr, False)
-                    A, Bm = cached_ab(k)
+                    if fill_ab:
+                        A, Bm = lin_f(x, u)
+                        ab = [zero + A[i][j2] for i in range(nxk)
+                              for j2 in range(nxk)]
+                        ab += [zero + Bm[i][j2] for i in range(nxk)
+                               for j2 in range(NU)]
+                        ab_scr[k] = jnp.stack(ab)
+                    else:
+                        A, Bm = cached_ab(k)
 
                     At = [[A[i][j2] for i in range(nxk)] for j2 in range(nxk)]
                     Bt = [[Bm[i][j2] for i in range(nxk)] for j2 in range(NU)]
@@ -598,8 +597,14 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                 gap = apply_stage(H, bounds_T, True, gap)
                 return jnp.maximum(_SIGMA_B * gap / n_act, _MU_MIN)
 
-            jax.lax.fori_loop(0, cfg.ip_iters, newton_body,
-                              jnp.full_like(zero, _MU0))
+            # peel Newton iteration 0 (fills the (A, B) cache in its
+            # backward sweep); the rest read cached Jacobians
+            mu_b0 = jnp.full_like(zero, _MU0)
+            if cfg.ip_iters > 0:
+                mu_b1 = newton_impl(mu_b0, True)
+                jax.lax.fori_loop(
+                    1, cfg.ip_iters,
+                    lambda _it, mu_b: newton_impl(mu_b, False), mu_b1)
 
             # --- RTI exact-penalty line search over the dU direction --------
             # (guard NaN directions like sqp._solve_ip's nan_to_num)

@@ -94,9 +94,12 @@ def main():
             ("al2x3", dict(al_iters=2, sqp_iters=3)),
             ("al1x2", dict(al_iters=1, sqp_iters=2)),
             ("al1x1", dict(al_iters=1, sqp_iters=1)),
-            # the bench operating point: single GN step, applied as the
-            # full RTI step when it improves the AL merit
-            ("al1x1_rti", dict(al_iters=1, sqp_iters=1, alphas=(1.0,)))]:
+            # merit-guarded full RTI step
+            ("al1x1_rti", dict(al_iters=1, sqp_iters=1, alphas=(1.0,))),
+            # the bench operating point: single GN step applied as the
+            # UNGUARDED full RTI step (reference maxqps=1 semantics)
+            ("al1x1_rti_unguarded",
+             dict(al_iters=1, sqp_iters=1, alphas=()))]:
         X, row = measure(label, B, method="al", **kw)
         row["max_dxy_vs_al3x4_m"] = round(
             float(np.abs(X[..., :2] - X_ref[..., :2]).max()), 4)
@@ -127,6 +130,11 @@ def main():
                                alphas=(1.0,))),
             ("al1x1_rti_gate1", dict(method="al", al_iters=1, sqp_iters=1,
                                      alphas=(1.0,), gate_stages=1)),
+            ("al1x1_unguarded", dict(method="al", al_iters=1, sqp_iters=1,
+                                     alphas=())),
+            ("al1x1_unguarded_gate1",
+             dict(method="al", al_iters=1, sqp_iters=1, alphas=(),
+                  gate_stages=1)),
             ("ip1x6_warm", dict(method="ip", ip_sqp_iters=1, ip_iters=6,
                                 ip_warm_duals=True)),
             ("ip1x6_warm_gate1", dict(method="ip", ip_sqp_iters=1,

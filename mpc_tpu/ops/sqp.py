@@ -206,6 +206,12 @@ class SolverConfig:
                                      # the golden (round-2 rho sweep)
 
     def __post_init__(self):
+        # YAML ``solver_settings:`` delivers ladders as lists; the config
+        # must stay hashable (it is a jit static argument)
+        for f in ("alphas", "ip_alphas"):
+            v = getattr(self, f)
+            if not isinstance(v, tuple):
+                object.__setattr__(self, f, tuple(v))
         if self.horizon < 1:
             raise ValueError(f"horizon must be >= 1, got {self.horizon}")
         if self.integrator not in ("rk4", "euler"):

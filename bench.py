@@ -128,16 +128,17 @@ def run_bench_hard(batch: int, horizon: int = 30, n_steps: int = 100,
 def main():
     n_dev = len(jax.devices())
     platform = jax.devices()[0].platform
-    # round-4 fused-engine batch sweep on v5e at the (1,1)/alphas=(1.0,)
+    # round-5 fused-engine batch sweep on v5e at the (1,1) unguarded
     # true-RTI point (closed-loop solves/s/chip, T=100 chains):
-    # 12288 -> 5.06M, 16384 -> 5.26M, 20480 -> 5.20M, 24576 -> 5.27M,
-    # 32768 -> 4.83M; 16384 (16 lane tiles) is the plateau knee
+    # al 12288 -> 6.14M, 16384 -> 6.43M, 20480 -> 6.30M, 24576 -> 6.50M
+    # (plateau from 16 lane tiles on); ip 12288 -> 4.63M, 16384 -> 4.74M,
+    # 20480 -> 4.64M
     batch = 16384 if platform != "cpu" else 128
     solves_per_s, step_latency, ok, total = run_bench(batch=batch)
     per_chip = solves_per_s / n_dev
     # hard-constrained engine (the reference's FLAGSHIP mode) on the same
     # harness — VERDICT r4 item 1
-    hbatch = 12288 if platform != "cpu" else 128
+    hbatch = 16384 if platform != "cpu" else 128
     h_solves_per_s, h_latency, h_ok, h_total = run_bench_hard(batch=hbatch)
     h_per_chip = h_solves_per_s / n_dev
     result = {

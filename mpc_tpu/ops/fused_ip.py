@@ -244,12 +244,14 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                                     obs_at(H), consts, True, k_is0=False,
                                     bnd=bnd_at(H)))
 
-        def penalty_merit_rollout(alpha, write: bool):
+        def penalty_merit_rollout(alpha, write: bool, merit: bool = True):
             """phi(alpha) = objective + rho * viol of rollout(clip(U + a dU)).
 
             alpha: (8,128) per-lane; write=True stores the new (X, U).
             The RTI step is a pure dU step (no feedback), matching
-            ``sqp._solve_ip``'s try_alpha.
+            ``sqp._solve_ip``'s try_alpha.  merit=False (the unguarded
+            write pass, whose return value is discarded) skips the
+            objective/violation accumulation.
             """
             def body(k, carry):
                 x, acc = carry
@@ -261,17 +263,19 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                                   k_is0=(k == 0), bnd=bnd_at(k))
                 if write:
                     store_rows(k, r)
-                hs = _row_values(r)
-                v = zero
-                for i, (lo, hi) in enumerate(bounds_k):
-                    vi = zero
-                    if hi is not None:
-                        vi = jnp.maximum(vi, hs[i] - hi)
-                    if lo is not None:
-                        vi = jnp.maximum(vi, lo - hs[i])
-                    v = v + jnp.maximum(vi, 0.0) * inv_scale[i]
-                xref_k = _read_vec(xref_ref, k, nxk)
-                acc = acc + _stage_cost_rows(xl, u, xref_k, wq, wr) + rho * v
+                if merit:
+                    hs = _row_values(r)
+                    v = zero
+                    for i, (lo, hi) in enumerate(bounds_k):
+                        vi = zero
+                        if hi is not None:
+                            vi = jnp.maximum(vi, hs[i] - hi)
+                        if lo is not None:
+                            vi = jnp.maximum(vi, lo - hs[i])
+                        v = v + jnp.maximum(vi, 0.0) * inv_scale[i]
+                    xref_k = _read_vec(xref_ref, k, nxk)
+                    acc = (acc + _stage_cost_rows(xl, u, xref_k, wq, wr)
+                           + rho * v)
                 if write:
                     X_ref[k] = jnp.stack(xl)
                     u_out[k] = jnp.stack(u)
@@ -283,19 +287,20 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                                k_is0=False, bnd=bnd_at(H))
             if write:
                 store_rows(H, rT)
-            hsT = _row_values(rT)
-            vT = zero
-            for i, (lo, hi) in enumerate(bounds_T):
-                vi = zero
-                if hi is not None:
-                    vi = jnp.maximum(vi, hsT[i] - hi)
-                if lo is not None:
-                    vi = jnp.maximum(vi, lo - hsT[i])
-                vT = vT + jnp.maximum(vi, 0.0) * inv_scale[i]
-            xrefT = _read_vec(xref_ref, H, nxk)
-            if cfg.use_terminal_cost:
-                acc = acc + _term_cost_rows(xT, xrefT, wqN)
-            acc = acc + rho * vT
+            if merit:
+                hsT = _row_values(rT)
+                vT = zero
+                for i, (lo, hi) in enumerate(bounds_T):
+                    vi = zero
+                    if hi is not None:
+                        vi = jnp.maximum(vi, hsT[i] - hi)
+                    if lo is not None:
+                        vi = jnp.maximum(vi, lo - hsT[i])
+                    vT = vT + jnp.maximum(vi, 0.0) * inv_scale[i]
+                xrefT = _read_vec(xref_ref, H, nxk)
+                if cfg.use_terminal_cost:
+                    acc = acc + _term_cost_rows(xT, xrefT, wqN)
+                acc = acc + rho * vT
             if write:
                 X_ref[H] = xH2
             # NaN rollouts lose the ladder (sqp._solve_ip: phi = inf on nan)
@@ -619,7 +624,7 @@ def _make_ip_kernel(cfg: S.SolverConfig, H: int,
                 # unguarded RTI (reference maxqps=1 semantics): apply the
                 # full step with no merit test — ONE rollout instead of
                 # len(ladder)+2; the big warm-path lever (VERDICT r4 #2)
-                penalty_merit_rollout(ones, write=True)
+                penalty_merit_rollout(ones, write=True, merit=False)
             else:
                 best_m = penalty_merit_rollout(zero, write=False)
                 best_a = zero
